@@ -3,11 +3,14 @@
 Multi-device sharding is validated on a virtual CPU mesh (the TPU-native
 analog of "multi-node testing without a real cluster"); real-TPU runs happen
 through bench.py / __graft_entry__.py.
+
+Note: this environment's sitecustomize registers an 'axon' TPU backend and
+forces jax_platforms; we override it after import via jax.config.update,
+which is honored.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,4 +18,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
