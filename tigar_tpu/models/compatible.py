@@ -1,0 +1,156 @@
+"""Div- and curl-conforming (RT/N-type) compatible B-splines and the
+iterated-penalty solenoidal solver.
+
+TPU-native counterpart of tIGAr/compatibleSplines.py.  The compatible field
+spaces are built from the control mesh's unique knots with degree raised
+along (RT) or perpendicular to (N) each field's direction
+(compatibleSplines.py:21-65); velocities live in the parametric domain and
+are pushed forward with the Piola (RT) or covariant (N) transform at
+quadrature points (forms.QP.pushforward_RT / pushforward_N).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import DEFAULT_RT_PENALTY
+from .bspline import TensorBSplineBasis, ControlMesh
+from .space import FieldListSpline
+from ..solvers.newton import NewtonError
+
+
+def generate_fields_compat(control_mesh: ControlMesh, rt_or_n, degrees,
+                           periodicities=None):
+    """Scalar bases of the components of an RT- or N-type compatible spline
+    (reference: generateFieldsCompat, compatibleSplines.py:21-65).
+    ``degrees`` is k' in J.A. Evans's notation; the actual polynomial degree
+    is raised by one along (RT) / perpendicular to (N) the field direction.
+    """
+    nvar = len(degrees)
+    base = control_mesh.scalar_basis()
+    if not isinstance(base, TensorBSplineBasis):
+        raise TypeError("compatible splines require a tensor-product "
+                        "B-spline control basis")
+    fields = []
+    for i in range(nvar):       # field (velocity component) index
+        kvecs = []
+        field_degs = []
+        for j in range(nvar):   # parametric direction
+            degree = int(degrees[j])
+            if (rt_or_n == "RT") == (j == i):
+                degree += 1
+            knots = np.asarray(base.kvs[j].unique_knots, dtype=np.float64)
+            if periodicities is None or not periodicities[j]:
+                knots = np.concatenate([np.full(degree, knots[0]), knots,
+                                        np.full(degree, knots[-1])])
+            kvecs.append(knots)
+            field_degs.append(degree)
+        fields.append(TensorBSplineBasis(field_degs, kvecs))
+    return fields
+
+
+class BSplineCompat(FieldListSpline):
+    """Multi-field space with one compatible-spline component per parametric
+    direction (reference: BSplineCompat, compatibleSplines.py:68-101)."""
+
+    def __init__(self, control_mesh, rt_or_n, degrees, periodicities=None):
+        fields = generate_fields_compat(control_mesh, rt_or_n, degrees,
+                                        periodicities)
+        super().__init__(control_mesh, fields)
+        self.rt_or_n = rt_or_n
+
+
+def piola_div(ctx, u_hat):
+    """Exactly-conservative parametric divergence of the RT pushforward
+    (Piola identity): div_x(DF u / sqrt(det g)) = tr(du/dxi)/sqrt(det g)."""
+    return jnp.trace(u_hat.g) / ctx.sqrtJ
+
+
+def iterated_div_free_solve(residual, spline, U, w=None,
+                            penalty=DEFAULT_RT_PENALTY, div_op=None,
+                            reuse_lhs=True, apply_bcs=True, aux=None,
+                            log=False):
+    """Iterated-penalty solve constraining the solution to a solenoidal
+    subspace (reference: iteratedDivFreeSolve, compatibleSplines.py:103-190).
+
+    residual : density(ctx, s, v_hat) where s is the state dict (unknown
+               jets under "u", any aux jets merged in) and v_hat the
+               parametric test jet
+    U        : initial unknown DoF array
+    w        : multiplier DoF array (in/out; pass the previous step's w when
+               time stepping); returned alongside the solution
+    div_op   : custom (ctx, jet) -> scalar divergence; defaults to the Piola
+               divergence of the RT pushforward (compatibleSplines.py:140-147)
+
+    Returns (U, w).
+    """
+    if div_op is None:
+        div_op = piola_div
+    if w is None:
+        w = jnp.zeros_like(U)
+    penalty = float(penalty)
+
+    def aug_density(ctx, s, v_hat):
+        u_jet = s["u"] if isinstance(s, dict) else s
+        du = div_op(ctx, u_jet)
+        dv = div_op(ctx, v_hat)
+        dw = div_op(ctx, s["w"])
+        return residual(ctx, s, v_hat) + penalty * du * dv + dw * dv
+
+    def state(Uc, wc):
+        base = {"u": Uc, "w": wc}
+        if aux is not None:
+            base.update(aux)
+        return base
+
+    initial_norm = None
+    lhs_state = None
+    for it in range(spline.max_iters):
+        s = state(U, w)
+        b = spline.assemble_vector(aug_density, U=s, apply_bcs=apply_bcs)
+        current = float(jnp.linalg.norm(b))
+        if it == 0:
+            initial_norm = current
+        rel = current / initial_norm if initial_norm > 0 else 0.0
+        if log:
+            print(f"Solver iteration: {it} , Relative norm: {rel}",
+                  flush=True)
+        if rel < spline.relative_tolerance:
+            return U, w
+        if lhs_state is None or not reuse_lhs:
+            lhs_state = s
+        dU = spline._solve_linearized(aug_density, lhs_state, b)
+        U = U - dU
+        w = w + penalty * U
+    raise NewtonError("Iterated penalty solver failed to converge.")
+
+
+def div_free_project(spline, to_project, get_velocity=None,
+                     get_other_fields=None, penalty=DEFAULT_RT_PENALTY,
+                     w=None, apply_bcs=True):
+    """L2 projection onto a solenoidal subspace (reference: divFreeProject,
+    compatibleSplines.py:192-226).  ``to_project(ctx)`` returns the physical
+    target vector; ``get_velocity`` selects the velocity sub-jet (defaults
+    to the whole jet)."""
+    if get_velocity is None:
+        get_velocity = lambda jet: jet
+
+    def res(ctx, s, v_hat):
+        u = ctx.pushforward_RT(get_velocity(s["u"] if isinstance(s, dict)
+                                            else s))
+        v = ctx.pushforward_RT(get_velocity(v_hat))
+        out = jnp.sum((u.val - jnp.asarray(to_project(ctx))) * v.val)
+        if get_other_fields is not None:
+            p = get_other_fields(s["u"] if isinstance(s, dict) else s)
+            q = get_other_fields(v_hat)
+            out = out + jnp.sum(jnp.asarray(p.val) * jnp.asarray(q.val))
+        return out
+
+    def div_op(ctx, jet):
+        return jnp.trace(get_velocity(jet).g)
+
+    U0 = jnp.zeros(spline.ndof, dtype=spline.dtype)
+    U, _ = iterated_div_free_solve(res, spline, U0, w=w, penalty=penalty,
+                                   div_op=div_op, apply_bcs=apply_bcs)
+    return U

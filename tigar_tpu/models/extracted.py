@@ -67,11 +67,15 @@ class ExtractedSpline:
                   beam, and Kirchhoff-Love shells)
     """
 
-    def __init__(self, space: SplineSpace, quad_degree, nders=1):
+    def __init__(self, space: SplineSpace, quad_degree, nders=1,
+                 geom_nders=None):
         self.space = space
         self.quad_degree = int(quad_degree)
         self.npts = npoints_for_degree(quad_degree)
         self.nders = int(nders)
+        # geometry may need second derivatives (d2F, for pushforward
+        # gradients and Christoffel symbols) even when fields do not
+        self.geom_nders = self.nders if geom_nders is None else int(geom_nders)
         self.dtype = real_dtype()
 
         self.control_basis = space.control_mesh.scalar_basis()
@@ -116,20 +120,22 @@ class ExtractedSpline:
 
     # -- tabulation / assembler construction ------------------------------------
 
-    def _field_tab(self, basis, domain):
-        key = (id(basis), domain)
+    def _field_tab(self, basis, domain, nders=None):
+        nders = self.nders if nders is None else nders
+        key = (id(basis), domain, nders)
         if key not in self._tab_cache:
             if domain == "dx":
-                self._tab_cache[key] = basis.tabulate(self.npts, self.nders)
+                self._tab_cache[key] = basis.tabulate(self.npts, nders)
             else:
                 _, direction, side = domain
                 self._tab_cache[key] = basis.tabulate_boundary(
-                    self.npts, self.nders, direction, side)
+                    self.npts, nders, direction, side)
         return self._tab_cache[key]
 
     def _assembler(self, domain) -> DomainAssembler:
         if domain not in self._assemblers:
-            ctrl_tab = self._field_tab(self.control_basis, domain)
+            ctrl_tab = self._field_tab(self.control_basis, domain,
+                                       nders=self.geom_nders)
             geom = precompute_geometry(ctrl_tab, self.bnet)
             qw = jnp.asarray(ctrl_tab.qw, dtype=self.dtype)
             jac = geom.sqrtJ if domain == "dx" else geom.surfJ
