@@ -1,0 +1,139 @@
+"""Kirchhoff-Love shell tests.
+
+1. Quantitative verification: clamped square SVK plate under small uniform
+   transverse pressure must reproduce the analytic Kirchhoff-plate center
+   deflection w = alpha q a^4 / D (alpha = 0.00126 for a clamped square,
+   D = E h^3 / 12(1-nu^2)).
+2. Reduced version of demos/kl-shell-hyper/kl-hyper.py: quasi-static
+   inflation of a clamped incompressible neo-Hookean membrane with exact
+   plane-stress pressure multiplier, follower pressure load, load stepping.
+"""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tigar_tpu.ops.knots import uniform_knots
+from tigar_tpu.ops.quadrature import gauss_rule_interval
+from tigar_tpu.models.bspline import ExplicitBSplineControlMesh
+from tigar_tpu.models.space import EqualOrderSpline
+from tigar_tpu.models.extracted import ExtractedSpline
+from tigar_tpu.models.shell import (midsurface_geometry, svk_psi_surface,
+                                    kl_strain_at, incompressible_psi)
+from tigar_tpu.forms import deriv
+from tigar_tpu.timeint import LoadStepper
+
+
+def make_shell_spline(nel, p=2, n_layers=2):
+    degs = [p, p]
+    kvecs = [uniform_knots(p, -1.0, 1.0, nel)] * 2
+    cm = ExplicitBSplineControlMesh(degs, kvecs, extra_dim=1)
+    sp = EqualOrderSpline(3, cm)
+    basis = cm.scalar_basis()
+    for side in (0, 1):
+        for direction in (0, 1):
+            dofs = basis.side_dofs(direction, side, n_layers=n_layers)
+            for i in range(3):
+                sp.add_zero_dofs(i, dofs)
+    return ExtractedSpline(sp, quad_degree=2 * p, nders=2)
+
+
+def test_midsurface_geometry_flat():
+    """Reference midsurface of a flat patch: identity metric, zero
+    curvature, z normal."""
+    spline = make_shell_spline(4)
+    geom = spline.geometry
+    import jax
+
+    def check(ctx):
+        g = midsurface_geometry(ctx)
+        return g.a, g.b, g.a2
+    a, b, n = jax.vmap(jax.vmap(check))(geom)
+    assert np.allclose(np.asarray(a), np.eye(2), atol=1e-12)
+    assert np.allclose(np.asarray(b), 0.0, atol=1e-12)
+    assert np.allclose(np.asarray(n)[..., 2], 1.0, atol=1e-12)
+
+
+def test_svk_plate_center_deflection():
+    """Small-deflection clamped plate: center deflection within a few
+    percent of the Kirchhoff solution."""
+    E_mod, nu, h_th = 1.0e7, 0.3, 0.03
+    q = 1.0e-4
+    a_len = 2.0
+    D = E_mod * h_th ** 3 / (12.0 * (1.0 - nu ** 2))
+    w_exact = 0.00126 * q * a_len ** 4 / D
+
+    spline = make_shell_spline(12)
+
+    def res(ctx, u, v):
+        y = u  # explicit B-spline: weight = 1, homogeneous == physical
+        dWint = deriv(lambda yy: svk_psi_surface(ctx, yy, E_mod, nu, h_th),
+                      y, v)
+        dWext = -q * v.val[2]
+        return dWint + dWext
+
+    U = spline.solve_nonlinear_variational_problem(res)
+    w_center = spline.evaluate(U, np.asarray([[0.0, 0.0]]),
+                               rationalize=False)[0, 2]
+    # measured: 5.2% @ 8x8, 2.1% @ 12x12, 0.98% @ 16x16 -- converging to
+    # the analytic Kirchhoff value from below (discrete stiffness)
+    rel = abs(w_center - w_exact) / w_exact
+    assert rel < 0.025, (w_center, w_exact, rel)
+
+
+def test_hyperelastic_inflation():
+    """Reduced kl-hyper demo: 5 load steps of follower-pressure inflation of
+    an incompressible neo-Hookean membrane (kl-hyper.py:167-259)."""
+    mu_nh = 1.0e4
+    h_th = 0.03
+    pressure = 1.0e2
+    n_steps = 5
+    stepper = LoadStepper(1.0 / 20.0)  # load up to t = 0.25
+
+    spline = make_shell_spline(6)
+    spline.set_solver_options(max_iters=100)
+
+    xi2, w_th = gauss_rule_interval(4, h_th)
+
+    def psi_el(E):
+        C = 2.0 * E + jnp.eye(3, dtype=E.dtype)
+        return 0.5 * mu_nh * (jnp.trace(C) - 3.0)
+
+    def energy_density(ctx, y):
+        total = 0.0
+        for i in range(len(xi2)):
+            E_2D = kl_strain_at(ctx, y, float(xi2[i]))
+            total = total + float(w_th[i]) * incompressible_psi(E_2D, psi_el)
+        return total
+
+    def make_res(load):
+        def res(ctx, u, v):
+            dWint = deriv(lambda y: energy_density(ctx, y), u, v)
+            cur = midsurface_geometry(ctx, u)
+            ref = midsurface_geometry(ctx)
+            from tigar_tpu.ops.smallmat import det_small
+            area_ratio = jnp.sqrt(det_small(cur.a) / det_small(ref.a))
+            dWext = -load * area_ratio * jnp.dot(cur.a2, v.val)
+            return dWint + dWext
+        return res
+
+    U = jnp.zeros(spline.ndof, dtype=spline.dtype)
+    centers = []
+    for step in range(n_steps):
+        res = make_res(pressure * stepper.t)
+        U = spline.solve_nonlinear_variational_problem(res, U0=U)
+        w_center = spline.evaluate(U, np.asarray([[0.0, 0.0]]),
+                                   rationalize=False)[0, 2]
+        centers.append(float(w_center))
+        stepper.advance()
+
+    # inflation: monotone increasing positive center deflection,
+    # sublinear growth (stiffening membrane)
+    assert all(c > 0 for c in centers), centers
+    assert all(centers[i + 1] > centers[i] for i in range(len(centers) - 1))
+    incr = np.diff([0.0] + centers)
+    assert incr[-1] < incr[0], centers
+    # the deflection should be a sizable fraction of the span at this load
+    assert 0.05 < centers[-1] < 1.0, centers

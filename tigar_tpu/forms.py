@@ -278,6 +278,39 @@ def _outer_last(a, b):
     return a[..., None] * b
 
 
+def taylor_eval(val, g, h, delta):
+    """Evaluate the 2-jet (val, g, h) as a truncated Taylor polynomial at
+    parametric offset ``delta``.  Differentiating the result with jax.jacfwd
+    at delta=0 recovers exact first (and, nested, second) parametric
+    derivatives of arbitrary compositions -- the AD replacement for UFL's
+    symbolic ``grad`` chains (e.g. parametricGrad of a unit normal in the
+    Kirchhoff-Love shell demos, kl-hyper.py:99-115)."""
+    out = val + jnp.tensordot(g, delta, axes=[[-1], [0]])
+    if h is not None:
+        out = out + 0.5 * jnp.einsum("...cd,c,d->...", h, delta, delta)
+    return out
+
+
+def jet_fn(u):
+    """Return the Taylor-polynomial function of parametric offset for a Jet."""
+    return lambda delta: taylor_eval(u.val, u.g, u.h, delta)
+
+
+def geometry_fn(ctx):
+    """Taylor-polynomial function of parametric offset for the geometry
+    mapping F (exact to second order when d2F is tabulated)."""
+    return lambda delta: taylor_eval(ctx.x, ctx.DF, ctx.d2F, delta)
+
+
+def deriv(f, u, v):
+    """Gateaux derivative of ``f`` at jet(-pytree) ``u`` in direction ``v``:
+    d/d(eps) f(u + eps v) at eps = 0, via JVP.  The pointwise analog of
+    UFL ``derivative(form, u, v)`` (used at kl-hyper.py:220,237,
+    dynamic-tspline.py:220,255)."""
+    import jax
+    return jax.jvp(f, (u,), (v,))[1]
+
+
 # ---- UFL-flavoured helpers ---------------------------------------------------
 
 def inner(a, b):

@@ -99,6 +99,36 @@ class TensorBSplineBasis(ScalarBasis):
         return tabulate_tensor_bspline_boundary(self.kvs, npts_per_dir, nders,
                                                 direction, side)
 
+    # -- point evaluation --------------------------------------------------------
+
+    def evaluate(self, coeffs, xi):
+        """Evaluate the scalar field with coefficients ``coeffs`` [ncp] (or
+        [ncp, m]) at arbitrary parametric points ``xi`` [n, dim].
+        Host-side (numpy); used for post-processing and visualization."""
+        from ..ops.basis import eval_basis
+        coeffs = np.asarray(coeffs)
+        xi = np.atleast_2d(np.asarray(xi, dtype=np.float64))
+        n = xi.shape[0]
+        nodes_d = []
+        vals_d = []
+        for d, kv in enumerate(self.kvs):
+            nodes, ders = eval_basis(kv, xi[:, d], 0)
+            nodes_d.append(nodes)          # [n, p_d+1]
+            vals_d.append(ders[:, 0, :])   # [n, p_d+1]
+        # accumulate tensor product
+        conn = nodes_d[0]
+        vals = vals_d[0]
+        stride = self.kvs[0].ncp
+        for d in range(1, self.dim):
+            conn = conn[:, :, None] + stride * nodes_d[d][:, None, :]
+            conn = conn.reshape(n, -1)
+            vals = (vals[:, :, None] * vals_d[d][:, None, :]).reshape(n, -1)
+            stride *= self.kvs[d].ncp
+        ce = coeffs[conn]                  # [n, nen] or [n, nen, m]
+        if ce.ndim == 3:
+            return np.einsum("na,nam->nm", vals, ce)
+        return np.einsum("na,na->n", vals, ce)
+
     # -- DoF geometry ----------------------------------------------------------
 
     def greville_points(self):

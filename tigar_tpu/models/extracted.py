@@ -376,6 +376,32 @@ class ExtractedSpline:
     # (common.py:968-993): fitting a pointwise function into spline space.
     fit = project
 
+    # -- point evaluation --------------------------------------------------------
+
+    def evaluate(self, U, xi, rationalize=True):
+        """Evaluate the solution at parametric points ``xi`` [n, dim].
+        Returns [n] (scalar space) or [n, nfields].  With ``rationalize``,
+        divides by the control weight function (physical representation)."""
+        import numpy as np_
+        U = np_.asarray(U)
+        xi = np_.atleast_2d(np_.asarray(xi, dtype=float))
+        vals = [self.space.fields[f].evaluate(U[self.space.field_slice(f)], xi)
+                for f in range(self.space.nfields)]
+        out = np_.stack(vals, axis=-1)
+        if rationalize:
+            w = self.control_basis.evaluate(
+                np_.asarray(self.bnet)[:, -1], xi)
+            out = out / w[:, None]
+        return out[:, 0] if self.space.nfields == 1 else out
+
+    def evaluate_geometry(self, xi):
+        """Physical location F(xi) of parametric points [n, dim] -> [n, nsd]."""
+        import numpy as np_
+        xi = np_.atleast_2d(np_.asarray(xi, dtype=float))
+        B = np_.asarray(self.bnet)
+        H = self.control_basis.evaluate(B, xi)  # [n, nsd+1]
+        return H[:, :-1] / H[:, -1:]
+
     # -- norms -----------------------------------------------------------------------
 
     def errornorm(self, U, exact_fn, rationalize=True, norm="L2"):

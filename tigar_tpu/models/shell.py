@@ -1,0 +1,178 @@
+"""Kirchhoff-Love shell kinematics and material utilities.
+
+The reference implements these as demo-level UFL code
+(demos/kl-shell-hyper/kl-hyper.py:94-212, demos/kl-shell-svk/
+dynamic-tspline.py:135-212); here they are a library module operating on
+quadrature-point jets.  All parametric differentiation of derived quantities
+(covariant bases, unit normal and its derivatives, curvature) is done with
+forward-mode AD through the configuration's Taylor polynomial, which is
+exact for the tabulated jet orders.
+
+Requires a spline built with nders=2 (displacement Hessians) on a
+2-parametric-dimension control mesh embedded in 3D (extra_dim=1 explicit
+B-splines, NURBS surfaces, or T-splines).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Any
+
+import jax
+import jax.numpy as jnp
+
+from ..forms import taylor_eval
+from ..ops.smallmat import det_small, inv_small
+
+
+class MidsurfaceGeometry(NamedTuple):
+    """Covariant midsurface data in one configuration
+    (kl-hyper.py:99-115)."""
+    a0: Any        # [3] covariant basis vector (xi_0 direction)
+    a1: Any        # [3]
+    a2: Any        # [3] unit normal
+    deriv_a2: Any  # [3,2] parametric derivatives of the unit normal
+    a: Any         # [2,2] midsurface metric
+    b: Any         # [2,2] curvature tensor
+
+
+def _unit(v):
+    return v / jnp.sqrt(jnp.dot(v, v))
+
+
+def configuration_fn(ctx, y=None):
+    """Taylor-polynomial (in parametric offset) of the shell configuration:
+    reference midsurface X = F, optionally deformed by a displacement jet
+    ``y`` (already rationalized): x = X + y (kl-hyper.py:89-92)."""
+    def xfun(delta):
+        X = taylor_eval(ctx.x, ctx.DF, ctx.d2F, delta)
+        if y is None:
+            return X
+        return X + taylor_eval(y.val, y.g, y.h, delta)
+    return xfun
+
+
+def midsurface_geometry(ctx, y=None):
+    """Covariant basis, unit normal (+ parametric derivatives), metric, and
+    curvature of the (possibly deformed) midsurface."""
+    xfun = configuration_fn(ctx, y)
+    zero = jnp.zeros(2, dtype=ctx.xi.dtype)
+
+    dxdxi = jax.jacfwd(xfun)(zero)            # [3, 2]
+    a0 = dxdxi[:, 0]
+    a1 = dxdxi[:, 1]
+
+    def a2_fn(delta):
+        J = jax.jacfwd(xfun)(delta)
+        return _unit(jnp.cross(J[:, 0], J[:, 1]))
+
+    a2 = a2_fn(zero)
+    deriv_a2 = jax.jacfwd(a2_fn)(zero)        # [3, 2]
+
+    a = dxdxi.T @ dxdxi
+    b = -dxdxi.T @ deriv_a2
+    b = 0.5 * (b + b.T)
+    return MidsurfaceGeometry(a0, a1, a2, deriv_a2, a, b)
+
+
+def curvilinear_basis(geom: MidsurfaceGeometry, xi2):
+    """In-plane curvilinear basis at through-thickness coordinate xi2
+    (kl-hyper.py:123-126)."""
+    g0 = geom.a0 + xi2 * geom.deriv_a2[:, 0]
+    g1 = geom.a1 + xi2 * geom.deriv_a2[:, 1]
+    return g0, g1
+
+
+def metric_at(geom: MidsurfaceGeometry, xi2):
+    """Shell metric at xi2, dropping terms quadratic in xi2
+    (kl-hyper.py:128-131)."""
+    return geom.a - 2.0 * xi2 * geom.b
+
+
+def local_cartesian_basis(a0, a1):
+    """Gram-Schmidt local Cartesian frame (kl-hyper.py:133-140)."""
+    e0 = _unit(a0)
+    e1 = _unit(a1 - e0 * jnp.dot(a1, e0))
+    return e0, e1
+
+
+def tensor_to_cartesian(T, a, a0, a1):
+    """Transform a covariant 2-tensor from the (a0, a1) curvilinear basis
+    with metric ``a`` to the local Cartesian frame (kl-hyper.py:142-165)."""
+    ac = inv_small(a)
+    a0c = ac[0, 0] * a0 + ac[0, 1] * a1
+    a1c = ac[1, 0] * a0 + ac[1, 1] * a1
+    e0, e1 = local_cartesian_basis(a0, a1)
+    ea = jnp.asarray([[jnp.dot(e0, a0c), jnp.dot(e0, a1c)],
+                      [jnp.dot(e1, a0c), jnp.dot(e1, a1c)]])
+    return ea @ T @ ea.T
+
+
+def incompressible_strain(E_2D):
+    """Build the full 3D Green-Lagrange strain in the local Cartesian frame
+    from the in-plane strain, with E22 determined by exact plane-stress
+    incompressibility (kl-hyper.py:185-197)."""
+    C_2D = 2.0 * E_2D + jnp.eye(2, dtype=E_2D.dtype)
+    C22 = 1.0 / det_small(C_2D)
+    E22 = 0.5 * (C22 - 1.0)
+    E = jnp.zeros((3, 3), dtype=E_2D.dtype)
+    E = E.at[:2, :2].set(E_2D)
+    E = E.at[2, 2].set(E22)
+    return E
+
+
+def incompressible_psi(E_2D, psi_el):
+    """Total strain-energy density for an incompressible material with the
+    exact plane-stress pressure Lagrange multiplier
+    (kl-hyper.py:167-200): psi = psi_el(E) - p(E) (J - 1), with
+    p = 2 d(psi_el)/dC_22 * C22."""
+    E = incompressible_strain(E_2D)
+    C = 2.0 * E + jnp.eye(3, dtype=E.dtype)
+    J = jnp.sqrt(det_small(C))
+
+    def psi_of_E(Evar):
+        return psi_el(Evar)
+
+    dpsi_dE = jax.grad(psi_of_E)(E)
+    dpsi_dC22 = 0.5 * dpsi_dE[2, 2]
+    C22 = 2.0 * E[2, 2] + 1.0
+    p = 2.0 * dpsi_dC22 * C22
+    return psi_of_E(E) - p * (J - 1.0)
+
+
+def kl_strain_at(ctx, y, xi2):
+    """Local-Cartesian in-plane Green-Lagrange strain at through-thickness
+    coordinate xi2, for displacement jet ``y`` (kl-hyper.py:185-190)."""
+    ref = midsurface_geometry(ctx)
+    cur = midsurface_geometry(ctx, y)
+    G = metric_at(ref, xi2)
+    g = metric_at(cur, xi2)
+    E_flat = 0.5 * (g - G)
+    G0, G1 = curvilinear_basis(ref, xi2)
+    return tensor_to_cartesian(E_flat, G, G0, G1)
+
+
+def svk_psi_surface(ctx, y, E_mod, nu, h_th):
+    """St. Venant-Kirchhoff Kirchhoff-Love shell energy per unit reference
+    midsurface area, integrated analytically through the thickness
+    (membrane + bending; the formulation of dynamic-tspline.py:135-212).
+
+    Uses the local-Cartesian membrane strain epsilon and curvature change
+    kappa; psi = 1/2 (h A : eps : eps + h^3/12 A : kappa : kappa) with the
+    plane-stress elasticity tensor A.
+    """
+    ref = midsurface_geometry(ctx)
+    cur = midsurface_geometry(ctx, y)
+    eps_flat = 0.5 * (cur.a - ref.a)
+    kappa_flat = cur.b - ref.b
+    eps = tensor_to_cartesian(eps_flat, ref.a, ref.a0, ref.a1)
+    kappa = tensor_to_cartesian(kappa_flat, ref.a, ref.a0, ref.a1)
+
+    lam_ps = E_mod * nu / (1.0 - nu ** 2)  # plane-stress lambda
+    mu = E_mod / (2.0 * (1.0 + nu))
+
+    def contract(S):
+        trS = jnp.trace(S)
+        return lam_ps * trS ** 2 + 2.0 * mu * jnp.sum(S * S)
+
+    return 0.5 * (h_th * contract(eps)
+                  + h_th ** 3 / 12.0 * contract(kappa))
