@@ -108,22 +108,20 @@ def test_hyperelastic_inflation():
             total = total + float(w_th[i]) * incompressible_psi(E_2D, psi_el)
         return total
 
-    def make_res(load):
-        def res(ctx, u, v):
-            dWint = deriv(lambda y: energy_density(ctx, y), u, v)
-            cur = midsurface_geometry(ctx, u)
-            ref = midsurface_geometry(ctx)
-            from tigar_tpu.ops.smallmat import det_small
-            area_ratio = jnp.sqrt(det_small(cur.a) / det_small(ref.a))
-            dWext = -load * area_ratio * jnp.dot(cur.a2, v.val)
-            return dWint + dWext
-        return res
+    def res(ctx, u, v, params):
+        dWint = deriv(lambda y: energy_density(ctx, y), u, v)
+        cur = midsurface_geometry(ctx, u)
+        ref = midsurface_geometry(ctx)
+        from tigar_tpu.ops.smallmat import det_small
+        area_ratio = jnp.sqrt(det_small(cur.a) / det_small(ref.a))
+        dWext = -params["load"] * area_ratio * jnp.dot(cur.a2, v.val)
+        return dWint + dWext
 
     U = jnp.zeros(spline.ndof, dtype=spline.dtype)
     centers = []
     for step in range(n_steps):
-        res = make_res(pressure * stepper.t)
-        U = spline.solve_nonlinear_variational_problem(res, U0=U)
+        U = spline.solve_nonlinear_variational_problem(
+            res, U0=U, params={"load": pressure * stepper.t})
         w_center = spline.evaluate(U, np.asarray([[0.0, 0.0]]),
                                    rationalize=False)[0, 2]
         centers.append(float(w_center))

@@ -15,7 +15,7 @@ from tigar_tpu.ops.refine import uniform_refine
 from tigar_tpu.models.bspline import ExplicitBSplineControlMesh
 from tigar_tpu.models.nurbs import NURBSControlMesh
 from tigar_tpu.models.compatible import (BSplineCompat, generate_fields_compat,
-                                         iterated_div_free_solve,
+                                         IteratedPenaltySolver,
                                          div_free_project, piola_div)
 from tigar_tpu.models.extracted import ExtractedSpline
 from tigar_tpu.timeint import GeneralizedAlphaIntegrator
@@ -108,11 +108,11 @@ def tg_final_error(levels, visc=0.1, dens=1.0, penalty=1e6):
         return (dens * jnp.sum(Du_Dt * v.val)
                 + 2.0 * visc * jnp.sum(eps_u * eps_v))
 
+    solver = IteratedPenaltySolver(spline, res)
     w = jnp.zeros_like(U)
     for step in range(n_steps):
         aux = {"x_old": timeInt.x_old, "xdot_old": timeInt.xdot_old}
-        timeInt.x, w = iterated_div_free_solve(
-            res, spline, timeInt.x, w=w, penalty=penalty, aux=aux)
+        timeInt.x, w = solver.solve(timeInt.x, w=w, penalty=penalty, aux=aux)
         timeInt.advance()
 
     t_final = n_steps * dt

@@ -67,63 +67,92 @@ def piola_div(ctx, u_hat):
     return jnp.trace(u_hat.g) / ctx.sqrtJ
 
 
+class IteratedPenaltySolver:
+    """Iterated-penalty solver constraining the solution to a solenoidal
+    subspace (reference: iteratedDivFreeSolve, compatibleSplines.py:103-190).
+
+    Construct ONCE per problem and call ``solve`` per (time) step: the
+    augmented density is a stable object, so every assembly stays
+    jit-cached, and the penalty is passed as a traced parameter.
+
+    residual : density(ctx, s, v_hat[, params]) where s is the state dict
+               (unknown jets under "u", aux jets merged in) and v_hat the
+               parametric test jet.  If ``takes_params``, the user density
+               receives params["user"].
+    div_op   : custom (ctx, jet) -> scalar divergence; defaults to the Piola
+               divergence of the RT pushforward (compatibleSplines.py:140-147)
+    """
+
+    def __init__(self, spline, residual, div_op=None, reuse_lhs=True,
+                 apply_bcs=True, takes_params=False):
+        self.spline = spline
+        self.reuse_lhs = reuse_lhs
+        self.apply_bcs = apply_bcs
+        if div_op is None:
+            div_op = piola_div
+
+        def aug_density(ctx, s, v_hat, params):
+            u_jet = s["u"] if isinstance(s, dict) else s
+            du = div_op(ctx, u_jet)
+            dv = div_op(ctx, v_hat)
+            dw = div_op(ctx, s["w"])
+            if takes_params:
+                res = residual(ctx, s, v_hat, params["user"])
+            else:
+                res = residual(ctx, s, v_hat)
+            return res + params["penalty"] * du * dv + dw * dv
+
+        self.aug_density = aug_density
+
+    def solve(self, U, w=None, penalty=DEFAULT_RT_PENALTY, aux=None,
+              params=None, log=False):
+        """Returns (U, w).  Pass the previous step's ``w`` when time stepping
+        (taylor-green-3d.py:135-146)."""
+        spline = self.spline
+        if w is None:
+            w = jnp.zeros_like(U)
+        penalty = jnp.asarray(penalty, dtype=spline.dtype)
+        p = {"penalty": penalty, "user": params}
+
+        def state(Uc, wc):
+            base = {"u": Uc, "w": wc}
+            if aux is not None:
+                base.update(aux)
+            return base
+
+        initial_norm = None
+        lhs_state = None
+        for it in range(spline.max_iters):
+            s = state(U, w)
+            b = spline.assemble_vector(self.aug_density, U=s,
+                                       apply_bcs=self.apply_bcs, params=p)
+            current = float(jnp.linalg.norm(b))
+            if it == 0:
+                initial_norm = current
+            rel = current / initial_norm if initial_norm > 0 else 0.0
+            if log:
+                print(f"Solver iteration: {it} , Relative norm: {rel}",
+                      flush=True)
+            if rel < spline.relative_tolerance:
+                return U, w
+            if lhs_state is None or not self.reuse_lhs:
+                lhs_state = s
+            dU = spline._solve_linearized(self.aug_density, lhs_state, b,
+                                          params=p)
+            U = U - dU
+            w = w + penalty * U
+        raise NewtonError("Iterated penalty solver failed to converge.")
+
+
 def iterated_div_free_solve(residual, spline, U, w=None,
                             penalty=DEFAULT_RT_PENALTY, div_op=None,
                             reuse_lhs=True, apply_bcs=True, aux=None,
                             log=False):
-    """Iterated-penalty solve constraining the solution to a solenoidal
-    subspace (reference: iteratedDivFreeSolve, compatibleSplines.py:103-190).
-
-    residual : density(ctx, s, v_hat) where s is the state dict (unknown
-               jets under "u", any aux jets merged in) and v_hat the
-               parametric test jet
-    U        : initial unknown DoF array
-    w        : multiplier DoF array (in/out; pass the previous step's w when
-               time stepping); returned alongside the solution
-    div_op   : custom (ctx, jet) -> scalar divergence; defaults to the Piola
-               divergence of the RT pushforward (compatibleSplines.py:140-147)
-
-    Returns (U, w).
-    """
-    if div_op is None:
-        div_op = piola_div
-    if w is None:
-        w = jnp.zeros_like(U)
-    penalty = float(penalty)
-
-    def aug_density(ctx, s, v_hat):
-        u_jet = s["u"] if isinstance(s, dict) else s
-        du = div_op(ctx, u_jet)
-        dv = div_op(ctx, v_hat)
-        dw = div_op(ctx, s["w"])
-        return residual(ctx, s, v_hat) + penalty * du * dv + dw * dv
-
-    def state(Uc, wc):
-        base = {"u": Uc, "w": wc}
-        if aux is not None:
-            base.update(aux)
-        return base
-
-    initial_norm = None
-    lhs_state = None
-    for it in range(spline.max_iters):
-        s = state(U, w)
-        b = spline.assemble_vector(aug_density, U=s, apply_bcs=apply_bcs)
-        current = float(jnp.linalg.norm(b))
-        if it == 0:
-            initial_norm = current
-        rel = current / initial_norm if initial_norm > 0 else 0.0
-        if log:
-            print(f"Solver iteration: {it} , Relative norm: {rel}",
-                  flush=True)
-        if rel < spline.relative_tolerance:
-            return U, w
-        if lhs_state is None or not reuse_lhs:
-            lhs_state = s
-        dU = spline._solve_linearized(aug_density, lhs_state, b)
-        U = U - dU
-        w = w + penalty * U
-    raise NewtonError("Iterated penalty solver failed to converge.")
+    """One-shot wrapper around IteratedPenaltySolver (for stepping loops,
+    construct the solver once and call .solve per step)."""
+    solver = IteratedPenaltySolver(spline, residual, div_op=div_op,
+                                   reuse_lhs=reuse_lhs, apply_bcs=apply_bcs)
+    return solver.solve(U, w=w, penalty=penalty, aux=aux, log=log)
 
 
 def div_free_project(spline, to_project, get_velocity=None,

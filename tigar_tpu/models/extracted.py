@@ -11,16 +11,22 @@ all quadrature points, and exposes:
     knob, common.py:1176-1204),
   - linear / nonlinear (Newton) variational solvers mirroring
     common.py:1236-1348,
-  - L2 and lumped projections (common.py:1351-1433).
+  - L2 and lumped projections (common.py:1351-1433),
+  - point evaluation for post-processing.
 
 Forms are JAX densities evaluated per quadrature point:
-    residual/bilinear: density(ctx, u, v)   (linear in v)
-    linear:            density(ctx, v)
-    functional:        density(ctx, u)      (u optional)
+    residual/bilinear: density(ctx, u, v[, params])   (linear in v)
+    linear:            density(ctx, v[, params])
+    functional:        density(ctx, u[, params])
 where ctx is a forms.QP and u/v are forms.Jet pytrees.  The state ``U``
 passed to assembly may be a single DoF array or a dict of arrays (the
 unknown under key "u", plus auxiliary known fields, e.g. time-integrator
-history); densities then receive the same structure of Jets.
+history); densities then receive the same structure of Jets.  ``params`` is
+an optional traced pytree of scalars (loads, time-step factors) so stepping
+loops never retrace.
+
+Every assembly/solve path is jit-compiled once per (form, flags) and cached;
+repeated calls (Newton iterations, time steps) run compiled code.
 """
 
 from __future__ import annotations
@@ -33,8 +39,7 @@ from ..config import (DEFAULT_MAX_ITERS, DEFAULT_RELATIVE_TOLERANCE,
                       real_dtype)
 from ..ops.quadrature import npoints_for_degree
 from ..ops.geometry import precompute_geometry
-from ..ops.assembly import (DomainAssembler, apply_bc_matrix, apply_bc_vector,
-                            bc_operator)
+from ..ops.assembly import DomainAssembler, apply_bc_matrix
 from ..solvers.linear import solve_dense, solve_krylov, jacobi_preconditioner
 from ..solvers.newton import newton_solve
 from .space import SplineSpace
@@ -65,6 +70,9 @@ class ExtractedSpline:
     nders       : derivative order to tabulate (1 default; 2 enables
                   hess/lap and rational Hessians, needed for biharmonic,
                   beam, and Kirchhoff-Love shells)
+    geom_nders  : derivative order for the geometry (d2F); defaults to
+                  nders.  Set to 2 with nders=1 when only pushforward
+                  gradients / Christoffel symbols are needed.
     """
 
     def __init__(self, space: SplineSpace, quad_degree, nders=1,
@@ -73,8 +81,6 @@ class ExtractedSpline:
         self.quad_degree = int(quad_degree)
         self.npts = npoints_for_degree(quad_degree)
         self.nders = int(nders)
-        # geometry may need second derivatives (d2F, for pushforward
-        # gradients and Christoffel symbols) even when fields do not
         self.geom_nders = self.nders if geom_nders is None else int(geom_nders)
         self.dtype = real_dtype()
 
@@ -87,6 +93,7 @@ class ExtractedSpline:
 
         self._tab_cache = {}
         self._assemblers = {}
+        self._jit_cache = {}
         self.mask = jnp.asarray(space.bc_mask(), dtype=self.dtype)
 
         # solver options (reference: setSolverOptions, common.py:1292-1302)
@@ -161,6 +168,19 @@ class ExtractedSpline:
                 terms.append((key, density))
         return terms
 
+    def _form_key(self, form):
+        terms = self._terms(form)
+        return tuple((str(d), id(fn)) for d, fn in terms), terms
+
+    def _jitted(self, key, terms, builder):
+        """Cache of jitted assembly kernels.  ``terms`` is stored alongside
+        to keep density objects alive (id-keyed cache)."""
+        entry = self._jit_cache.get(key)
+        if entry is None:
+            entry = (jax.jit(builder()), terms)
+            self._jit_cache[key] = entry
+        return entry[0]
+
     # -- quadrature-point data for user inspection -------------------------------
 
     @property
@@ -170,130 +190,217 @@ class ExtractedSpline:
 
     # -- assembly ----------------------------------------------------------------
 
-    def assemble_functional(self, form, U=None):
-        """Integrate a scalar density over the domain (for errors, energies,
+    def assemble_functional(self, form, U=None, params=None):
+        """Integrate a scalar density over the domain (errors, energies,
         dissipation rates...)."""
-        total = 0.0
-        for domain, density in self._terms(form):
-            asm = self._assembler(domain)
-            if U is None:
-                total = total + asm.functional(density)
-            else:
-                uj = self._jets_tree(asm, U)
-                total = total + jnp.sum(
-                    jax.vmap(jax.vmap(density))(asm.ctx, uj) * asm.scale)
-        return total
+        fkey, terms = self._form_key(form)
+        asms = [self._assembler(d) for d, _ in terms]
+        densities = [fn for _, fn in terms]
+        key = ("fun", fkey, U is None, params is None)
 
-    def assemble_vector(self, form, U=None, apply_bcs=True):
+        def builder():
+            def fn(asms_, U_, params_):
+                total = jnp.zeros((), dtype=self.dtype)
+                for asm, dens in zip(asms_, densities):
+                    uj = None if U_ is None else asm.jets_tree(U_)
+                    total = total + asm.functional(dens, uj, params_)
+                return total
+            return fn
+
+        return self._jitted(key, terms, builder)(asms, U, params)
+
+    def assemble_vector(self, form, U=None, apply_bcs=True, params=None):
         """Assemble a linear form L(ctx, v) (U=None) or residual
         res(ctx, u, v) at state U (reference: assembleVector,
         common.py:1162-1173)."""
-        b = jnp.zeros(self.ndof, dtype=self.dtype)
-        for domain, density in self._terms(form):
-            asm = self._assembler(domain)
-            if U is None:
-                b = b + asm.linear_vector(density)
-            else:
-                b = b + asm.residual_vector(density, self._jets_tree(asm, U))
-        if apply_bcs:
-            b = apply_bc_vector(b, self.mask)
-        return b
+        fkey, terms = self._form_key(form)
+        asms = [self._assembler(d) for d, _ in terms]
+        densities = [fn for _, fn in terms]
+        key = ("vec", fkey, U is None, bool(apply_bcs), params is None)
 
-    def _jets_tree(self, asm, U):
-        if isinstance(U, dict):
-            return {k: asm.jets(jnp.asarray(v)) for k, v in U.items()}
-        return asm.jets(jnp.asarray(U))
+        def builder():
+            def fn(asms_, U_, mask, params_):
+                b = jnp.zeros(self.ndof, dtype=self.dtype)
+                for asm, dens in zip(asms_, densities):
+                    if U_ is None:
+                        b = b + asm.linear_vector(dens, params=params_)
+                    else:
+                        b = b + asm.residual_vector(
+                            dens, asm.jets_tree(U_), params=params_)
+                if apply_bcs:
+                    b = b * mask
+                return b
+            return fn
 
-    def _jets_passthrough(self, U):
-        return U
+        return self._jitted(key, terms, builder)(asms, U, self.mask, params)
 
-    def tangent_action(self, form, U, W, apply_bcs=True, diag=1.0):
+    def tangent_action(self, form, U, W, apply_bcs=True, diag=1.0,
+                       params=None):
         """Action of the tangent dR/d(unknown) at U on W -- the matrix-free
         MᵀAM product."""
-        out = jnp.zeros(self.ndof, dtype=self.dtype)
-        Uu = _get_unknown(U)
-        if apply_bcs:
-            W_in = self.mask * W
-        else:
-            W_in = W
-        for domain, density in self._terms(form):
-            asm = self._assembler(domain)
+        fkey, terms = self._form_key(form)
+        asms = [self._assembler(d) for d, _ in terms]
+        densities = [fn for _, fn in terms]
+        ukey = tuple(sorted(U.keys())) if isinstance(U, dict) else None
+        key = ("act", fkey, ukey, bool(apply_bcs), params is None)
 
-            def r_of(a):
-                return asm.residual_vector(density,
-                                           self._jets_tree(asm, _set_unknown(U, a)))
-            out = out + jax.jvp(r_of, (Uu,), (W_in,))[1]
-        if apply_bcs:
-            out = self.mask * out + diag * (1.0 - self.mask) * W
-        return out
+        def builder():
+            def fn(asms_, U_, W_, mask, diag_, params_):
+                Uu = _get_unknown(U_)
+                W_in = mask * W_ if apply_bcs else W_
+                out = jnp.zeros(self.ndof, dtype=self.dtype)
+                for asm, dens in zip(asms_, densities):
+                    def r_of(a, asm=asm, dens=dens):
+                        return asm.residual_vector(
+                            dens, asm.jets_tree(_set_unknown(U_, a)),
+                            params=params_)
+                    out = out + jax.jvp(r_of, (Uu,), (W_in,))[1]
+                if apply_bcs:
+                    out = mask * out + diag_ * (1.0 - mask) * W_
+                return out
+            return fn
 
-    def matrix_operator(self, form, U=None, apply_bcs=True, diag=1.0):
+        return self._jitted(key, terms, builder)(
+            asms, U, W, self.mask, jnp.asarray(diag, dtype=self.dtype),
+            params)
+
+    def matrix_operator(self, form, U=None, apply_bcs=True, diag=1.0,
+                        params=None):
         """Matrix-free operator W -> A @ W (tangent at U)."""
         if U is None:
             U = jnp.zeros(self.ndof, dtype=self.dtype)
         return lambda W: self.tangent_action(form, U, W, apply_bcs=apply_bcs,
-                                             diag=diag)
+                                             diag=diag, params=params)
 
-    def assemble_matrix(self, form, U=None, apply_bcs=True, diag=1.0):
+    def _element_matrix_sum(self, asms_, densities, U_, params_, scatter):
+        out = None
+        for asm, dens in zip(asms_, densities):
+            if isinstance(U_, dict):
+                aux = {k: asm.jets(jnp.asarray(v)) for k, v in U_.items()
+                       if k != "u"}
+                A_e = asm.element_matrices(dens, jnp.asarray(U_["u"]),
+                                           aux_jets=aux, params=params_)
+            else:
+                A_e = asm.element_matrices(dens, jnp.asarray(U_),
+                                           params=params_)
+            part = scatter(asm, A_e)
+            out = part if out is None else out + part
+        return out
+
+    def assemble_matrix(self, form, U=None, apply_bcs=True, diag=1.0,
+                        params=None):
         """Dense tangent/bilinear matrix (for eigenproblems and direct
         solves; reference: assembleMatrix + zeroRowsColumns,
         common.py:1176-1220)."""
         if U is None:
             U = jnp.zeros(self.ndof, dtype=self.dtype)
-        A = jnp.zeros((self.ndof, self.ndof), dtype=self.dtype)
-        for domain, density in self._terms(form):
-            asm = self._assembler(domain)
-            A = A + asm.scatter_dense(self._element_matrices(asm, density, U))
-        if apply_bcs:
-            A = apply_bc_matrix(A, self.mask, diag=diag)
-        return A
+        fkey, terms = self._form_key(form)
+        asms = [self._assembler(d) for d, _ in terms]
+        densities = [fn for _, fn in terms]
+        ukey = tuple(sorted(U.keys())) if isinstance(U, dict) else None
+        key = ("mat", fkey, ukey, bool(apply_bcs), params is None)
 
-    def assemble_diagonal(self, form, U=None, apply_bcs=True, diag=1.0):
+        def builder():
+            def fn(asms_, U_, mask, diag_, params_):
+                A = self._element_matrix_sum(
+                    asms_, densities, U_, params_,
+                    lambda asm, A_e: asm.scatter_dense(A_e))
+                if apply_bcs:
+                    A = apply_bc_matrix(A, mask, diag=diag_)
+                return A
+            return fn
+
+        return self._jitted(key, terms, builder)(
+            asms, U, self.mask, jnp.asarray(diag, dtype=self.dtype), params)
+
+    def assemble_diagonal(self, form, U=None, apply_bcs=True, diag=1.0,
+                          params=None):
         """Diagonal of the tangent (Jacobi preconditioner)."""
         if U is None:
             U = jnp.zeros(self.ndof, dtype=self.dtype)
-        d = jnp.zeros(self.ndof, dtype=self.dtype)
-        for domain, density in self._terms(form):
-            asm = self._assembler(domain)
-            d = d + asm.scatter_diag(self._element_matrices(asm, density, U))
-        if apply_bcs:
-            d = self.mask * d + diag * (1.0 - self.mask)
-        return d
+        fkey, terms = self._form_key(form)
+        asms = [self._assembler(d) for d, _ in terms]
+        densities = [fn for _, fn in terms]
+        ukey = tuple(sorted(U.keys())) if isinstance(U, dict) else None
+        key = ("diag", fkey, ukey, bool(apply_bcs), params is None)
 
-    def _element_matrices(self, asm, density, U):
-        if isinstance(U, dict):
-            aux = {k: asm.jets(jnp.asarray(v)) for k, v in U.items()
-                   if k != "u"}
-            return asm.element_matrices(density, jnp.asarray(U["u"]),
-                                        aux_jets=aux)
-        return asm.element_matrices(density, jnp.asarray(U))
+        def builder():
+            def fn(asms_, U_, mask, diag_, params_):
+                d = self._element_matrix_sum(
+                    asms_, densities, U_, params_,
+                    lambda asm, A_e: asm.scatter_diag(A_e))
+                if apply_bcs:
+                    d = mask * d + diag_ * (1.0 - mask)
+                return d
+            return fn
 
-    def assemble_linear_system(self, lhs_form, rhs_form, apply_bcs=True):
+        return self._jitted(key, terms, builder)(
+            asms, U, self.mask, jnp.asarray(diag, dtype=self.dtype), params)
+
+    def assemble_linear_system(self, lhs_form, rhs_form, apply_bcs=True,
+                               params=None):
         """(A, b) for a bilinear lhs and linear rhs (reference:
         assembleLinearSystem, common.py:1223-1234)."""
-        A = self.assemble_matrix(lhs_form, apply_bcs=apply_bcs)
-        b = self.assemble_vector(rhs_form, apply_bcs=apply_bcs)
+        A = self.assemble_matrix(lhs_form, apply_bcs=apply_bcs, params=params)
+        b = self.assemble_vector(rhs_form, apply_bcs=apply_bcs, params=params)
         return A, b
 
     # -- linear solves -----------------------------------------------------------
 
-    def _solve_linearized(self, form, U, rhs):
-        """Solve J(U) x = rhs with BCs applied, dispatching on solver
-        options."""
+    def _linear_method(self):
         method = self.linear_solver
         if method is None:
             method = "direct" if self.ndof <= self.dense_threshold else "cg"
+        return method
+
+    def _solve_linearized(self, form, U, rhs, params=None, apply_bcs=True):
+        """Solve J(U) x = rhs, dispatching on solver options.  With
+        ``apply_bcs`` the operator uses zeroRowsColumns semantics (unit
+        diagonal at constrained DoFs); without, the raw tangent is used
+        (e.g. unconstrained mass solves in projections)."""
+        method = self._linear_method()
         if method == "direct":
-            A = self.assemble_matrix(form, U=U)
+            A = self.assemble_matrix(form, U=U, params=params,
+                                     apply_bcs=apply_bcs)
             return solve_dense(A, rhs)
-        action = self.matrix_operator(form, U=U)
-        diag = self.assemble_diagonal(form, U=U)
-        M = jacobi_preconditioner(diag)
-        return solve_krylov(action, rhs, method=method, tol=self.linear_tol,
-                            maxiter=self.linear_max_iter, M=M)
+        diag = self.assemble_diagonal(form, U=U, params=params,
+                                      apply_bcs=apply_bcs)
+
+        fkey, terms = self._form_key(form)
+        asms = [self._assembler(d) for d, _ in terms]
+        densities = [fn for _, fn in terms]
+        ukey = tuple(sorted(U.keys())) if isinstance(U, dict) else None
+        key = ("kry", fkey, ukey, method, self.linear_tol,
+               self.linear_max_iter, bool(apply_bcs), params is None)
+
+        def builder():
+            def fn(asms_, U_, rhs_, mask, diag_vec, params_):
+                Uu = _get_unknown(U_)
+
+                def action(W):
+                    W_in = mask * W if apply_bcs else W
+                    out = jnp.zeros(self.ndof, dtype=self.dtype)
+                    for asm, dens in zip(asms_, densities):
+                        def r_of(a, asm=asm, dens=dens):
+                            return asm.residual_vector(
+                                dens, asm.jets_tree(_set_unknown(U_, a)),
+                                params=params_)
+                        out = out + jax.jvp(r_of, (Uu,), (W_in,))[1]
+                    if apply_bcs:
+                        out = mask * out + (1.0 - mask) * W
+                    return out
+
+                M = jacobi_preconditioner(diag_vec)
+                return solve_krylov(action, rhs_, method=method,
+                                    tol=self.linear_tol,
+                                    maxiter=self.linear_max_iter, M=M)
+            return fn
+
+        return self._jitted(key, terms, builder)(
+            asms, U, rhs, self.mask, diag, params)
 
     def solve_linear_variational_problem(self, form, rhs_form=None, U0=None,
-                                         apply_bcs=True):
+                                         apply_bcs=True, params=None):
         """Solve a linear problem (reference:
         solveLinearVariationalProblem, common.py:1266-1290).
 
@@ -304,25 +411,21 @@ class ExtractedSpline:
         if U0 is None:
             U0 = jnp.zeros(self.ndof, dtype=self.dtype)
         if rhs_form is not None:
-            A = self.assemble_matrix(form, apply_bcs=apply_bcs)
-            b = self.assemble_vector(rhs_form, apply_bcs=apply_bcs)
-            if self.linear_solver in (None, "direct") \
-                    and self.ndof <= self.dense_threshold:
-                return solve_dense(A, b)
-            action = self.matrix_operator(form)
-            M = jacobi_preconditioner(jnp.diag(A))
-            return solve_krylov(action, b,
-                                method=self.linear_solver or "cg",
-                                tol=self.linear_tol,
-                                maxiter=self.linear_max_iter, M=M)
-        r = self.assemble_vector(form, U=U0, apply_bcs=apply_bcs)
-        dU = self._solve_linearized(form, U0, r)
-        return _get_unknown(U0) - dU if isinstance(U0, dict) else U0 - dU
+            b = self.assemble_vector(rhs_form, apply_bcs=apply_bcs,
+                                     params=params)
+            return self._solve_linearized(form, U0, b, params=params,
+                                          apply_bcs=apply_bcs)
+        r = self.assemble_vector(form, U=U0, apply_bcs=apply_bcs,
+                                 params=params)
+        dU = self._solve_linearized(form, U0, r, params=params,
+                                    apply_bcs=apply_bcs)
+        return _get_unknown(U0) - dU
 
     # -- nonlinear solve ----------------------------------------------------------
 
     def solve_nonlinear_variational_problem(self, form, U0=None,
-                                            reference_error=None, log=False):
+                                            reference_error=None, log=False,
+                                            params=None):
         """Newton solve (reference: solveNonlinearVariationalProblem,
         common.py:1304-1348).  U0 may be an array or a dict with the unknown
         under "u" (auxiliary fields are held fixed)."""
@@ -332,11 +435,11 @@ class ExtractedSpline:
 
         def residual(u_arr):
             U = _set_unknown(Uaux, u_arr) if Uaux is not None else u_arr
-            return self.assemble_vector(form, U=U)
+            return self.assemble_vector(form, U=U, params=params)
 
         def solve_lin(u_arr, r):
             U = _set_unknown(Uaux, u_arr) if Uaux is not None else u_arr
-            return self._solve_linearized(form, U, r)
+            return self._solve_linearized(form, U, r, params=params)
 
         u0 = jnp.asarray(_get_unknown(U0), dtype=self.dtype)
         u, _ = newton_solve(residual, solve_lin, u0,
@@ -369,8 +472,8 @@ class ExtractedSpline:
             vv = ctx.rationalize(v) if rationalize else v
             return jnp.sum(jnp.asarray(uu.val) * jnp.asarray(vv.val))
 
-        return self.solve_linear_variational_problem(a, rhs_form=lambda c, v: L(c, v),
-                                                     apply_bcs=apply_bcs)
+        U0 = jnp.zeros(self.ndof, dtype=self.dtype)
+        return self._solve_linearized(a, U0, b, apply_bcs=apply_bcs)
 
     # alias matching the reference's FE-to-IGA least-squares intent
     # (common.py:968-993): fitting a pointwise function into spline space.
@@ -382,23 +485,20 @@ class ExtractedSpline:
         """Evaluate the solution at parametric points ``xi`` [n, dim].
         Returns [n] (scalar space) or [n, nfields].  With ``rationalize``,
         divides by the control weight function (physical representation)."""
-        import numpy as np_
-        U = np_.asarray(U)
-        xi = np_.atleast_2d(np_.asarray(xi, dtype=float))
+        U = np.asarray(U)
+        xi = np.atleast_2d(np.asarray(xi, dtype=float))
         vals = [self.space.fields[f].evaluate(U[self.space.field_slice(f)], xi)
                 for f in range(self.space.nfields)]
-        out = np_.stack(vals, axis=-1)
+        out = np.stack(vals, axis=-1)
         if rationalize:
-            w = self.control_basis.evaluate(
-                np_.asarray(self.bnet)[:, -1], xi)
+            w = self.control_basis.evaluate(np.asarray(self.bnet)[:, -1], xi)
             out = out / w[:, None]
         return out[:, 0] if self.space.nfields == 1 else out
 
     def evaluate_geometry(self, xi):
         """Physical location F(xi) of parametric points [n, dim] -> [n, nsd]."""
-        import numpy as np_
-        xi = np_.atleast_2d(np_.asarray(xi, dtype=float))
-        B = np_.asarray(self.bnet)
+        xi = np.atleast_2d(np.asarray(xi, dtype=float))
+        B = np.asarray(self.bnet)
         H = self.control_basis.evaluate(B, xi)  # [n, nsd+1]
         return H[:, :-1] / H[:, -1:]
 

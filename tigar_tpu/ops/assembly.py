@@ -12,6 +12,11 @@ total form; tangent actions are JVPs of the residual map; explicit matrices
 come from per-element ``jacfwd`` + scatter.  Because fields are evaluated in
 spline space directly, there is no extraction matrix and no PtAP: the
 "extraction" is fused into the tabulated basis.
+
+``DomainAssembler`` is registered as a JAX pytree so jitted kernels receive
+its arrays as runtime arguments (not trace-embedded constants).  Densities
+may take an optional trailing ``params`` pytree (traced; constant across
+quadrature points) so load stepping and time stepping do not retrace.
 """
 
 from __future__ import annotations
@@ -37,7 +42,7 @@ class DomainAssembler:
 
     def __init__(self, field_tabs, offsets, ndof, ctx, scale):
         self.nfields = len(field_tabs)
-        self.offsets = [int(o) for o in offsets]
+        self.offsets = tuple(int(o) for o in offsets)
         self.ndof = int(ndof)
         self.ctx = ctx
         self.scale = jnp.asarray(scale)
@@ -52,14 +57,42 @@ class DomainAssembler:
             self.dNs.append(None if t.dN is None else jnp.asarray(t.dN))
             self.d2Ns.append(None if t.d2N is None else jnp.asarray(t.d2N))
             self.masks.append(None if t.mask is None else jnp.asarray(t.mask))
-        self.nel = field_tabs[0].nel
-        self.nq = field_tabs[0].nq
-        self.nens = [t.nen for t in field_tabs]
+        self.nens = tuple(t.nen for t in field_tabs)
         self.nloc = int(sum(self.nens))
         # concatenated element connectivity in global numbering
         self.cat_conn = jnp.concatenate(
             [self.conns[f] + self.offsets[f] for f in range(self.nfields)],
             axis=1)
+
+    @property
+    def nel(self):
+        return self.scale.shape[0]
+
+    @property
+    def nq(self):
+        return self.scale.shape[1]
+
+    # -- pytree protocol ---------------------------------------------------------
+
+    def tree_flatten(self):
+        children = (self.ctx, self.scale, tuple(self.conns), tuple(self.Ns),
+                    tuple(self.dNs), tuple(self.d2Ns), tuple(self.masks),
+                    self.cat_conn)
+        aux = (self.nfields, self.offsets, self.ndof, self.nens, self.nloc)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.ctx, obj.scale, conns, Ns, dNs, d2Ns, masks,
+         obj.cat_conn) = children
+        obj.conns = list(conns)
+        obj.Ns = list(Ns)
+        obj.dNs = list(dNs)
+        obj.d2Ns = list(d2Ns)
+        obj.masks = list(masks)
+        (obj.nfields, obj.offsets, obj.ndof, obj.nens, obj.nloc) = aux
+        return obj
 
     # -- field evaluation -------------------------------------------------------
 
@@ -94,33 +127,44 @@ class DomainAssembler:
         h = None if hs[0] is None else jnp.stack(hs, axis=2)
         return Jet(val, g, h)
 
+    def jets_tree(self, U):
+        """jets() over an array or a dict of arrays."""
+        if isinstance(U, dict):
+            return {k: self.jets(jnp.asarray(v)) for k, v in U.items()}
+        return self.jets(jnp.asarray(U))
+
     # -- global assembly --------------------------------------------------------
 
-    def _pointwise(self, density, *field_args):
-        vm = jax.vmap(jax.vmap(density))
-        return vm(self.ctx, *field_args)
+    def _pointwise(self, density, field_args, params):
+        n = 1 + len(field_args)
+        if params is None:
+            vm = jax.vmap(jax.vmap(density))
+            return vm(self.ctx, *field_args)
+        inner_axes = (0,) * n + (None,)
+        vm = jax.vmap(jax.vmap(density, in_axes=inner_axes),
+                      in_axes=inner_axes)
+        return vm(self.ctx, *field_args, params)
 
-    def functional(self, density, U=None):
-        """Integrate density(ctx[, u]) over the domain."""
-        if U is None:
-            vals = self._pointwise(density)
-        else:
-            vals = self._pointwise(density, self.jets(U))
-        return jnp.sum(vals * self.scale)
+    def functional(self, density, u_jets=None, params=None):
+        """Integrate density(ctx[, u][, params]) over the domain."""
+        args = () if u_jets is None else (u_jets,)
+        return jnp.sum(self._pointwise(density, args, params) * self.scale)
 
-    def linear_vector(self, density):
-        """Assemble b_i = L(N_i) for density(ctx, v) linear in v."""
-        def R(V):
-            return jnp.sum(self._pointwise(density, self.jets(V)) * self.scale)
-        return jax.grad(R)(jnp.zeros(self.ndof, dtype=self.scale.dtype))
-
-    def residual_vector(self, density, u_jets):
-        """Assemble r_i = res(u; N_i) for density(ctx, u, v) linear in v.
-        ``u_jets`` is the (pytree of) jets of the current state, from
-        ``self.jets``."""
+    def linear_vector(self, density, params=None):
+        """Assemble b_i = L(N_i) for density(ctx, v[, params]) linear in v."""
         def R(V):
             return jnp.sum(
-                self._pointwise(density, u_jets, self.jets(V)) * self.scale)
+                self._pointwise(density, (self.jets(V),), params)
+                * self.scale)
+        return jax.grad(R)(jnp.zeros(self.ndof, dtype=self.scale.dtype))
+
+    def residual_vector(self, density, u_jets, params=None):
+        """Assemble r_i = res(u; N_i) for density(ctx, u, v[, params]) linear
+        in v.  ``u_jets`` from ``self.jets_tree``."""
+        def R(V):
+            return jnp.sum(
+                self._pointwise(density, (u_jets, self.jets(V)), params)
+                * self.scale)
         return jax.grad(R)(jnp.zeros(self.ndof, dtype=self.scale.dtype))
 
     # -- per-element explicit matrices ------------------------------------------
@@ -152,7 +196,7 @@ class DomainAssembler:
         h = None if hs[0] is None else jnp.stack(hs, axis=1)
         return Jet(val, g, h)
 
-    def element_matrices(self, density, U, aux_jets=None):
+    def element_matrices(self, density, U, aux_jets=None, params=None):
         """[nel, nloc, nloc] element tangent matrices of density(ctx, u, v),
         linearized about U, via nested AD (jacfwd of the local residual).
 
@@ -168,7 +212,12 @@ class DomainAssembler:
                     uj = self._local_jets(ul, Ns_e, dNs_e, d2Ns_e, masks_e)
                     u = uj if aux_e is None else {"u": uj, **aux_e}
                     v = self._local_jets(vloc, Ns_e, dNs_e, d2Ns_e, masks_e)
-                    dens = jax.vmap(density)(ctx_e, u, v)
+                    if params is None:
+                        dens = jax.vmap(density)(ctx_e, u, v)
+                    else:
+                        dens = jax.vmap(density,
+                                        in_axes=(0, 0, 0, None))(
+                            ctx_e, u, v, params)
                     return jnp.sum(dens * scale_e)
                 return jax.grad(R)(jnp.zeros(self.nloc, dtype=dtype))
             return jax.jacfwd(local_residual)(uloc)
@@ -192,10 +241,11 @@ class DomainAssembler:
         out = jnp.zeros(self.ndof, dtype=A_e.dtype)
         return out.at[self.cat_conn].add(d)
 
-    def dense_matrix(self, density, U=None):
-        if U is None:
-            U = jnp.zeros(self.ndof, dtype=self.scale.dtype)
-        return self.scatter_dense(self.element_matrices(density, U))
+
+jax.tree_util.register_pytree_node(
+    DomainAssembler,
+    lambda a: a.tree_flatten(),
+    DomainAssembler.tree_unflatten)
 
 
 def apply_bc_vector(b, mask):
