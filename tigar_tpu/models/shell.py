@@ -53,23 +53,28 @@ def configuration_fn(ctx, y=None):
 
 def midsurface_geometry(ctx, y=None):
     """Covariant basis, unit normal (+ parametric derivatives), metric, and
-    curvature of the (possibly deformed) midsurface."""
-    xfun = configuration_fn(ctx, y)
-    zero = jnp.zeros(2, dtype=ctx.xi.dtype)
+    curvature of the (possibly deformed) midsurface.
 
-    dxdxi = jax.jacfwd(xfun)(zero)            # [3, 2]
-    a0 = dxdxi[:, 0]
-    a1 = dxdxi[:, 1]
+    Closed-form: the configuration's parametric Jacobian and Hessian are
+    exactly (DF + y.g) and (d2F + y.h), so the unit normal's parametric
+    derivative is d(unit(n))_c = (I - a2 a2^T) dn_c / |n| with
+    dn_c = cross(H[:,0,c], a1) + cross(a0, H[:,1,c]) -- no nested AD, which
+    keeps the XLA graphs of shell residual/tangent assembly compact."""
+    G = ctx.DF if y is None else ctx.DF + y.g            # [3, 2]
+    H = ctx.d2F if y is None else ctx.d2F + y.h          # [3, 2, 2]
+    a0 = G[:, 0]
+    a1 = G[:, 1]
+    n = jnp.cross(a0, a1)
+    nn = jnp.sqrt(jnp.dot(n, n))
+    a2 = n / nn
 
-    def a2_fn(delta):
-        J = jax.jacfwd(xfun)(delta)
-        return _unit(jnp.cross(J[:, 0], J[:, 1]))
+    # dn[:, c] = cross(dx0/dxi_c, a1) + cross(a0, dx1/dxi_c)
+    dn = (jnp.cross(H[:, 0, :], a1[:, None], axisa=0, axisb=0, axisc=0)
+          + jnp.cross(a0[:, None], H[:, 1, :], axisa=0, axisb=0, axisc=0))
+    deriv_a2 = (dn - a2[:, None] * (a2 @ dn)[None, :]) / nn
 
-    a2 = a2_fn(zero)
-    deriv_a2 = jax.jacfwd(a2_fn)(zero)        # [3, 2]
-
-    a = dxdxi.T @ dxdxi
-    b = -dxdxi.T @ deriv_a2
+    a = G.T @ G
+    b = -G.T @ deriv_a2
     b = 0.5 * (b + b.T)
     return MidsurfaceGeometry(a0, a1, a2, deriv_a2, a, b)
 
