@@ -1,0 +1,163 @@
+"""Benchmark: Kirchhoff-Love shell assembly + solve on TPU.
+
+Headline metric (BASELINE.json: "assembled DoF/s + solve wall-clock on
+KL-shell"): sustained DoF/s of residual assembly (the gather -> jet ->
+nested-AD energy variation -> scatter pipeline that replaces FFC element
+kernels + DOLFIN assemble + PETSc MatPtAP in the reference), plus the
+wall-clock of a full matrix-free Newton step (assembly + Jacobi-CG).
+
+vs_baseline: ratio against an estimated 1.0e5 DoF/s for the reference's CPU
+path on this workload.  The reference publishes no numbers (BASELINE.md);
+the estimate comes from the reference's own warning that KL-shell form
+compilation/assembly is unusually slow (kl-hyper.py:13-16) and typical
+FEniCS assembly rates of 1e4-1e6 DoF/s for 4th-order shell residuals on one
+CPU socket.  The driver's north-star of >=10x CPU FEniCS corresponds to
+vs_baseline >= 10.
+
+Prints ONE JSON line to stdout; diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+CPU_FENICS_BASELINE_DOF_PER_S = 1.0e5
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    from tigar_tpu.ops.knots import uniform_knots
+    from tigar_tpu.models.bspline import ExplicitBSplineControlMesh
+    from tigar_tpu.models.space import EqualOrderSpline
+    from tigar_tpu.models.extracted import ExtractedSpline
+    from tigar_tpu.models.shell import svk_psi_surface
+    from tigar_tpu.forms import deriv
+    from tigar_tpu.solvers.linear import solve_krylov, jacobi_preconditioner
+
+    log("devices:", jax.devices())
+    nel = int(os.environ.get("BENCH_NEL", "64"))
+    p = 2
+    degs = [p, p]
+    kvecs = [uniform_knots(p, -1.0, 1.0, nel)] * 2
+    cm = ExplicitBSplineControlMesh(degs, kvecs, extra_dim=1)
+    sp = EqualOrderSpline(3, cm)
+    basis = cm.scalar_basis()
+    for side in (0, 1):
+        for direction in (0, 1):
+            dofs = basis.side_dofs(direction, side, n_layers=2)
+            for i in range(3):
+                sp.add_zero_dofs(i, dofs)
+
+    t0 = time.time()
+    spline = ExtractedSpline(sp, quad_degree=2 * p, nders=2)
+    asm = spline._assembler("dx")
+    log(f"preprocess (tabulation+geometry): {time.time() - t0:.2f}s; "
+        f"nel={asm.nel}, ndof={spline.ndof}, nq={asm.nq}")
+
+    E_mod, nu, h_th, q = 1.0e7, 0.3, 0.03, 1.0e-2
+
+    def res_density(ctx, u, v):
+        dWint = deriv(lambda y: svk_psi_surface(ctx, y, E_mod, nu, h_th),
+                      u, v)
+        return dWint - q * v.val[2]
+
+    mask = spline.mask
+
+    @jax.jit
+    def residual(asm_, mask_, U):
+        return asm_.residual_vector(res_density, asm_.jets_tree(U)) * mask_
+
+    @jax.jit
+    def tangent_action(asm_, mask_, U, W):
+        W_in = mask_ * W
+        out = jax.jvp(
+            lambda a: asm_.residual_vector(res_density, asm_.jets_tree(a)),
+            (U,), (W_in,))[1]
+        return mask_ * out + (1.0 - mask_) * W
+
+    N_CG = int(os.environ.get("BENCH_CG_ITERS", "100"))
+
+    def newton_step(asm_, mask_, U):
+        """Residual + N_CG conjugate-gradient iterations + update.  The CG
+        loop runs at the Python level with the jitted action; all vector ops
+        stay on device and dispatch asynchronously (no host syncs inside)."""
+        r = residual(asm_, mask_, U)
+        x = jnp.zeros_like(r)
+        p = r
+        rz = jnp.vdot(r, r)
+        rr = r
+        for _ in range(N_CG):
+            Ap = tangent_action(asm_, mask_, U, p)
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            rr = rr - alpha * Ap
+            rz_new = jnp.vdot(rr, rr)
+            p = rr + (rz_new / rz) * p
+            rz = rz_new
+        return U - x, jnp.linalg.norm(r)
+
+    U = jnp.zeros(spline.ndof, dtype=spline.dtype)
+
+    # ---- residual assembly throughput ----------------------------------------
+    t0 = time.time()
+    r = residual(asm, mask, U)
+    r.block_until_ready()
+    log(f"residual compile+first run: {time.time() - t0:.1f}s")
+
+    n_rep = int(os.environ.get("BENCH_REPS", "50"))
+    t0 = time.time()
+    for _ in range(n_rep):
+        r = residual(asm, mask, U)
+    r.block_until_ready()
+    dt_assembly = (time.time() - t0) / n_rep
+    dof_per_s = spline.ndof / dt_assembly
+    log(f"residual assembly: {dt_assembly * 1e3:.3f} ms "
+        f"({dof_per_s:.3e} DoF/s, dtype={spline.dtype})")
+
+    # ---- Newton-step solve wall-clock -----------------------------------------
+    t0 = time.time()
+    U1, rnorm = newton_step(asm, mask, U)
+    U1.block_until_ready()
+    log(f"newton step compile+first run: {time.time() - t0:.1f}s")
+    n_solve = max(1, n_rep // 10)
+    t0 = time.time()
+    for _ in range(n_solve):
+        U1, rnorm = newton_step(asm, mask, U)
+    U1.block_until_ready()
+    dt_solve = (time.time() - t0) / n_solve
+    log(f"newton step (assemble + {N_CG} CG iterations): "
+        f"{dt_solve * 1e3:.1f} ms; |r|={float(rnorm):.3e}")
+    assert np.isfinite(float(rnorm))
+    assert np.all(np.isfinite(np.asarray(U1)))
+
+    print(json.dumps({
+        "metric": "kl_shell_assembled_dof_per_s",
+        "value": dof_per_s,
+        "unit": "dof/s",
+        "vs_baseline": dof_per_s / CPU_FENICS_BASELINE_DOF_PER_S,
+        "extra": {
+            "ndof": spline.ndof,
+            "nel": int(asm.nel),
+            "dtype": str(spline.dtype),
+            "residual_assembly_ms": dt_assembly * 1e3,
+            "newton_step_solve_ms": dt_solve * 1e3,
+            "device": str(jax.devices()[0]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -100,12 +100,7 @@ def precompute_geometry(ctrl_tab, bnet):
         nref = jnp.broadcast_to(jnp.asarray(ctrl_tab.normal),
                                 (nel, nq) + (xi.shape[-1],))
 
-    def point(args):
-        xi_p, H, Hg, Hh, nr = args
-        return _geom_point(xi_p, H, Hg, Hh, nr)
-
-    flat = jax.vmap(jax.vmap(
-        lambda xi_p, H, Hg, Hh, nr: _geom_point(xi_p, H, Hg, Hh, nr),
-        in_axes=(0, 0, 0, None if hh is None else 0, None if nref is None else 0)),
-        in_axes=(0, 0, 0, None if hh is None else 0, None if nref is None else 0))
-    return flat(xi, val, gg, hh, nref)
+    axes = (0, 0, 0, None if hh is None else 0, None if nref is None else 0)
+    flat = jax.vmap(jax.vmap(_geom_point, in_axes=axes), in_axes=axes)
+    # jit so construction runs as one fused kernel instead of eager op-by-op
+    return jax.jit(flat)(xi, val, gg, hh, nref)

@@ -25,6 +25,41 @@ def jacobi_preconditioner(diag):
     return lambda r: dinv * r
 
 
+def cg_fixed_iters(action, b, n_iters, M=None, x0=None):
+    """Preconditioned CG with a static iteration count (lax.fori_loop).
+
+    No data-dependent exit condition, so the whole solve compiles to one
+    on-device loop -- required for fast execution on TPU backends where a
+    while_loop condition forces host round-trips.  Returns (x, r) with r the
+    final residual vector.
+    """
+    if M is None:
+        M = lambda r: r
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    r0 = b - action(x0)
+    z0 = M(r0)
+    p0 = z0
+    rz0 = jnp.vdot(r0, z0)
+
+    def body(_, state):
+        x, r, p, rz = state
+        Ap = action(p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = jnp.where(pAp != 0.0, rz / pAp, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
+        p = z + beta * p
+        return x, r, p, rz_new
+
+    x, r, _, _ = jax.lax.fori_loop(0, n_iters, body,
+                                   (x0, r0, p0, rz0))
+    return x, r
+
+
 def solve_krylov(action, b, x0=None, method="cg", tol=1e-12, atol=0.0,
                  maxiter=None, M=None):
     """Solve action(x) = b matrix-free.
