@@ -1,0 +1,135 @@
+"""T-spline tests: Rhino extraction-format round trip against an equivalent
+B-spline patch, geometry exactness, and a reduced version of
+demos/kl-shell-svk/dynamic-tspline.py (SVK shell dynamics with
+generalized-alpha and penalty plate contact, BCs by control-point location).
+"""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from tigar_tpu.ops.knots import uniform_knots
+from tigar_tpu.models.bspline import TensorBSplineBasis
+from tigar_tpu.models.tsplines import (TSplineBasis, RhinoTSplineControlMesh,
+                                       bspline_to_rhino_extraction)
+from tigar_tpu.models.space import EqualOrderSpline
+from tigar_tpu.models.extracted import ExtractedSpline
+from tigar_tpu.models.shell import svk_psi_surface
+from tigar_tpu.forms import deriv
+from tigar_tpu.timeint import GeneralizedAlphaIntegrator
+
+
+def make_cubic_patch(nel=3, z_amp=0.1):
+    """Bi-cubic B-spline patch on [0,1]^2 with a curved z profile."""
+    basis = TensorBSplineBasis([3, 3], [uniform_knots(3, 0.0, 1.0, nel)] * 2)
+    gp = basis.greville_points()
+    bnet = np.zeros((basis.ncp, 4))
+    bnet[:, 0] = gp[:, 0]
+    bnet[:, 1] = gp[:, 1]
+    bnet[:, 2] = z_amp * gp[:, 0] * (1.0 - gp[:, 0])
+    bnet[:, 3] = 1.0
+    return basis, bnet
+
+
+def test_rhino_roundtrip_basis_values(tmp_path):
+    basis, bnet = make_cubic_patch()
+    fname = str(tmp_path / "patch.iga")
+    bspline_to_rhino_extraction(basis, bnet, fname)
+
+    ts = TSplineBasis.from_file(fname)
+    assert ts.ncp == basis.ncp
+    assert ts.nel == basis.nel
+    assert ts.max_nshl == 16
+
+    tab_b = basis.tabulate(4, 0)
+    tab_t = ts.tabulate(4, 0)
+    # same element order (dir-0 fastest) and same local function ordering
+    assert np.array_equal(np.asarray(tab_b.conn), np.asarray(tab_t.conn))
+    assert np.allclose(tab_t.N, tab_b.N, atol=1e-11)
+    # partition of unity through the extraction operators
+    assert np.allclose(tab_t.N.sum(axis=2), 1.0, atol=1e-11)
+
+
+def test_rhino_control_mesh_geometry(tmp_path):
+    basis, bnet = make_cubic_patch(z_amp=0.0)
+    fname = str(tmp_path / "flat.iga")
+    bspline_to_rhino_extraction(basis, bnet, fname)
+    cm = RhinoTSplineControlMesh(fname)
+    assert cm.nsd == 3
+    sp = EqualOrderSpline(1, cm)
+    spline = ExtractedSpline(sp, quad_degree=6)
+    area = float(spline.assemble_functional(lambda ctx: 1.0))
+    assert np.isclose(area, 1.0, atol=1e-11)
+    # physical locations at quadrature points lie in the unit square at z=0
+    x = np.asarray(spline.geometry.x)
+    assert x[..., 0].min() > 0 and x[..., 0].max() < 1
+    assert np.allclose(x[..., 2], 0.0, atol=1e-12)
+
+
+def test_dynamic_tspline_shell_contact(tmp_path):
+    """Reduced dynamic-tspline demo: T-spline SVK shell dropped onto the
+    z=0 plane with penalty contact (dynamic-tspline.py:96-315)."""
+    basis, bnet = make_cubic_patch(nel=3, z_amp=0.0)
+    z0 = 0.02
+    bnet[:, 2] = z0
+    fname = str(tmp_path / "plate.iga")
+    bspline_to_rhino_extraction(basis, bnet, fname)
+    cm = RhinoTSplineControlMesh(fname)
+
+    sp = EqualOrderSpline(3, cm)
+    # pin the plate edges (x in {0,1} or y in {0,1}) by control-point
+    # location, the BC mechanism of the demo (dynamic-tspline.py:64-75)
+    eps = 1e-9
+    edge = lambda x: (x[0] < eps or x[0] > 1 - eps
+                      or x[1] < eps or x[1] > 1 - eps)
+    for i in range(3):
+        sp.add_zero_dofs_by_location(edge, i)
+
+    spline = ExtractedSpline(sp, quad_degree=6, nders=2)
+    spline.set_solver_options(max_iters=100, relative_tolerance=1e-3)
+
+    E_mod, nu, h_th, dens = 3.0e4, 0.3, 0.03, 10.0
+    penalty = 1.0e8
+    dt = 1.0e-3
+
+    U0 = jnp.zeros(spline.ndof, dtype=spline.dtype)
+    Udot0 = jnp.zeros(spline.ndof, dtype=spline.dtype)
+    # initial downward velocity on the z-field DoFs (interpolation of a
+    # constant is exact for a partition-of-unity basis)
+    Udot0 = Udot0.at[spline.space.field_slice(2)].set(-10.0)
+    Uddot0 = jnp.zeros(spline.ndof, dtype=spline.dtype)
+    timeInt = GeneralizedAlphaIntegrator(0.5, dt, U0, (U0, Udot0, Uddot0))
+
+    def res(ctx, s, z):
+        # virtual work tested directly with z (the reference's 1/alpha_f
+        # factor, dynamic-tspline.py:216-220, undoes its d/d(y_hom) chain
+        # rule; differentiating at y_alpha makes it unnecessary)
+        y_alpha = ctx.rationalize(timeInt.x_alpha_of(s))
+        yddot_alpha = ctx.rationalize(timeInt.xddot_alpha_of(s))
+        zz = ctx.rationalize(z)
+        dWint = deriv(lambda y: svk_psi_surface(ctx, y, E_mod, nu, h_th),
+                      y_alpha, zz)
+        dWmass = dens * h_th * jnp.sum(yddot_alpha.val * zz.val)
+        xz = ctx.x[2] + y_alpha.val[2]
+        gap = jnp.where(xz < 0.0, -xz, 0.0)
+        dWext = -penalty * gap * zz.val[2]
+        return dWmass + dWint + dWext
+
+    min_z = []
+    for step in range(8):
+        state = {"u": timeInt.x, "x_old": timeInt.x_old,
+                 "xdot_old": timeInt.xdot_old, "xddot_old": timeInt.xddot_old}
+        timeInt.x = spline.solve_nonlinear_variational_problem(
+            res, U0=state)
+        timeInt.advance()
+        # center displacement: middle element of the 3x3 grid, local (0,0)
+        zc = cm.scalar_basis().evaluate(
+            np.asarray(timeInt.x_old)[spline.space.field_slice(2)],
+            np.asarray([[0.0, 0.0]]), element=4)[0]
+        min_z.append(z0 + float(zc))
+
+    # the shell fell (negative displacement) but contact stopped it from
+    # penetrating significantly below z = 0
+    assert min(min_z) < z0 - 5e-3   # it moved down
+    assert min(min_z) > -5e-3, min_z  # penalty contact held
