@@ -92,8 +92,9 @@ class TensorBSplineBasis(ScalarBasis):
 
     # -- tabulation ------------------------------------------------------------
 
-    def tabulate(self, npts_per_dir, nders):
-        return tabulate_tensor_bspline(self.kvs, npts_per_dir, nders)
+    def tabulate(self, npts_per_dir, nders, rule=None):
+        return tabulate_tensor_bspline(self.kvs, npts_per_dir, nders,
+                                       rule=rule)
 
     def tabulate_boundary(self, npts_per_dir, nders, direction, side):
         return tabulate_tensor_bspline_boundary(self.kvs, npts_per_dir, nders,

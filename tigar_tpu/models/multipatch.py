@@ -119,8 +119,8 @@ class MultiPatchBSplineBasis(ScalarBasis):
 
     # -- tabulation ---------------------------------------------------------------
 
-    def tabulate(self, npts_per_dir, nders):
-        tabs = [p.tabulate(npts_per_dir, nders).with_offset(
+    def tabulate(self, npts_per_dir, nders, rule=None):
+        tabs = [p.tabulate(npts_per_dir, nders, rule=rule).with_offset(
                     int(self.doffsets[i]))
                 for i, p in enumerate(self.patches)]
         return _concat_tabs(tabs, self.ncp)

@@ -103,11 +103,15 @@ class TSplineBasis(ScalarBasis):
 
     # -- tabulation ---------------------------------------------------------------
 
-    def _bernstein_tab(self, npts, nders):
+    def _bernstein_tab(self, npts, nders, rule=None):
         """Tensor-product bi-cubic Bernstein values/derivatives at Gauss
         points of (-1,1)^2.  Bernstein index b = j*4 + i with i along the
         first parametric direction (RhinoTSplines.py:50-53)."""
-        g, w = gauss_rule(npts)
+        if rule is not None:
+            g, w = np.asarray(rule[0]), np.asarray(rule[1])
+            npts = len(g)
+        else:
+            g, w = gauss_rule(npts)
         d1 = bernstein_basis_ders(3, g, nders, interval=(-1.0, 1.0))
         nq = npts * npts
         qi, qj = np.meshgrid(np.arange(npts), np.arange(npts), indexing="ij")
@@ -133,10 +137,10 @@ class TSplineBasis(ScalarBasis):
         qp = np.stack([g[qi], g[qj]], axis=-1)
         return B, dB, d2B, qp, qw
 
-    def tabulate(self, npts_per_dir, nders):
+    def tabulate(self, npts_per_dir, nders, rule=None):
         npts = int(np.max(npts_per_dir)) if not np.isscalar(npts_per_dir) \
             else int(npts_per_dir)
-        B, dB, d2B, qp, qw = self._bernstein_tab(npts, nders)
+        B, dB, d2B, qp, qw = self._bernstein_tab(npts, nders, rule=rule)
         nel, nq = self.nel, B.shape[0]
         N = np.einsum("eab,qb->eqa", self.C, B)
         dN = None if dB is None else np.einsum("eab,qbd->eqad", self.C, dB)

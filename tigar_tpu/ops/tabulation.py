@@ -186,17 +186,20 @@ def _combine_tensor(dir_data, ncps, nders):
                       qp=qp, qw=qw, ncp=ncp, dim=dim)
 
 
-def tabulate_tensor_bspline(kvs, npts_per_dir, nders):
+def tabulate_tensor_bspline(kvs, npts_per_dir, nders, rule=None):
     """Volume tabulation of a tensor-product B-spline basis.
 
     kvs : list of KnotVector (length = parametric dimension)
     npts_per_dir : int or list of ints, Gauss points per direction
     nders : 0, 1 or 2 (derivative order to tabulate)
+    rule : optional explicit (points, weights) on (-1,1) replacing the Gauss
+           rule in every direction (e.g. closed uniform points for
+           visualization sampling)
     """
     dim = len(kvs)
     if np.isscalar(npts_per_dir):
         npts_per_dir = [int(npts_per_dir)] * dim
-    dir_data = [_dir_tabulation(kvs[d], npts_per_dir[d], nders)
+    dir_data = [_dir_tabulation(kvs[d], npts_per_dir[d], nders, rule=rule)
                 for d in range(dim)]
     return _combine_tensor(dir_data, [kv.ncp for kv in kvs], nders)
 
