@@ -1,0 +1,187 @@
+"""3D Taylor-Green tests at reduced resolution.
+
+RT path (demos/taylor-green/taylor-green-3d.py): div-conforming velocity,
+iterated-penalty NS on a solenoidal subspace; divergence error at machine
+precision with direct solves; dissipation-rate functional tracks the exact
+field's value at t=0.
+
+N path (taylor-green-3d-vector-potential.py): velocity = curl of an N-type
+vector potential on explicit geometry -- exactly solenoidal by construction.
+"""
+
+import math
+
+import numpy as np
+import jax.numpy as jnp
+
+from tigar_tpu.ops.knots import uniform_knots
+from tigar_tpu.models.bspline import ExplicitBSplineControlMesh
+from tigar_tpu.models.compatible import (BSplineCompat, IteratedPenaltySolver,
+                                         div_free_project, piola_div)
+from tigar_tpu.models.extracted import ExtractedSpline
+from tigar_tpu.timeint import GeneralizedAlphaIntegrator
+
+NEL = 6
+VISC = 1.0 / 100.0  # Re = 100
+DENS = 1.0
+
+
+def exact_tg3(x):
+    return jnp.stack([jnp.sin(x[0]) * jnp.cos(x[1]) * jnp.cos(x[2]),
+                      -jnp.cos(x[0]) * jnp.sin(x[1]) * jnp.cos(x[2]),
+                      0.0 * x[0]])
+
+
+def exact_dissipation_t0():
+    """(2 nu / rho / pi^3) int eps(u0):eps(u0) dx over [0,pi]^3:
+    eps11^2 and eps22^2 each integrate to pi^3/8, eps12 vanishes
+    identically, and the eps13/eps23 pairs contribute pi^3/16 each, so
+    int eps:eps = (3/8) pi^3 and the rate is 0.75 nu / rho."""
+    return 0.75 * VISC / DENS
+
+
+def make_rt_spline():
+    degs = [1, 1, 1]
+    kvecs = [uniform_knots(1, 0.0, math.pi, NEL)] * 3
+    cm = ExplicitBSplineControlMesh(degs, kvecs)
+    sp = BSplineCompat(cm, "RT", degs)
+    for field in range(3):
+        basis = sp.get_field_spline(field)
+        for side in (0, 1):
+            sp.add_zero_dofs(field, basis.side_dofs(field, side))
+    return ExtractedSpline(sp, quad_degree=3, nders=1, geom_nders=2)
+
+
+def test_taylor_green_3d_rt():
+    spline = make_rt_spline()
+    n_steps = 3
+    dt = 16.0 / (8 * NEL) / 4.0
+
+    U = div_free_project(spline, lambda ctx: exact_tg3(ctx.x), penalty=1e1)
+    Udot = jnp.zeros_like(U)
+    timeInt = GeneralizedAlphaIntegrator(1.0, dt, U, (U, Udot))
+
+    def eps_of(u_phys):
+        return 0.5 * (u_phys.grad + u_phys.grad.T)
+
+    def res(ctx, s, v_hat):
+        u = ctx.pushforward_RT(timeInt.x_alpha_of(s))
+        udot = ctx.pushforward_RT(timeInt.xdot_alpha_of(s))
+        v = ctx.pushforward_RT(v_hat)
+        Du_Dt = udot.val + u.grad @ u.val
+        return (DENS * jnp.sum(Du_Dt * v.val)
+                + 2.0 * VISC * jnp.sum(eps_of(u) * eps_of(v)))
+
+    def dissipation(U_arr):
+        def density(ctx, u):
+            up = ctx.pushforward_RT(u)
+            e = 0.5 * (up.grad + up.grad.T)
+            return (2.0 * VISC / DENS / math.pi ** 3) * jnp.sum(e * e)
+        return float(spline.assemble_functional(density, U=U_arr))
+
+    # dissipation rate of the projected IC matches the exact field's value
+    d0 = dissipation(U)
+    assert abs(d0 - exact_dissipation_t0()) / exact_dissipation_t0() < 0.05
+
+    solver = IteratedPenaltySolver(spline, res)
+    w = jnp.zeros_like(U)
+    rates = [d0]
+    for step in range(n_steps):
+        aux = {"x_old": timeInt.x_old, "xdot_old": timeInt.xdot_old}
+        timeInt.x, w = solver.solve(timeInt.x, w=w, penalty=1e4, aux=aux)
+        timeInt.advance()
+        rates.append(dissipation(timeInt.x_old))
+
+    # dissipation decays in time (taylor-green-3d.py:151-166)
+    assert rates[-1] < rates[0]
+
+    # velocity divergence at machine precision (direct solves;
+    # taylor-green-3d.py:153-160)
+    div_err = float(spline.assemble_functional(
+        lambda ctx, u: piola_div(ctx, u) ** 2, U=timeInt.x_old))
+    assert div_err < 1e-20
+
+
+def make_n_spline():
+    degs = [1, 1, 1]
+    kvecs = [uniform_knots(1, 0.0, math.pi, NEL)] * 3
+    cm = ExplicitBSplineControlMesh(degs, kvecs)
+    sp = BSplineCompat(cm, "N", degs)
+    # constrain tangential potential components on all sides
+    # (taylor-green-3d-vector-potential.py:65-72)
+    for field in range(3):
+        basis = sp.get_field_spline(field)
+        for direction in range(3):
+            if field != direction:
+                for side in (0, 1):
+                    sp.add_zero_dofs(field, basis.side_dofs(direction, side))
+    spline = ExtractedSpline(sp, quad_degree=3, nders=2)
+    spline.set_solver_options(linear_solver="cg", linear_tol=1e-10,
+                              relative_tolerance=1e-5)
+    return spline
+
+
+def curl_field(A):
+    """Velocity and its gradient from a vector-potential jet on identity
+    geometry: u_i = eps_{ijk} dA_k/dx_j, grad(u)_{il} from A's Hessian."""
+    g = A.g
+    u = jnp.stack([g[2, 1] - g[1, 2],
+                   g[0, 2] - g[2, 0],
+                   g[1, 0] - g[0, 1]])
+    h = A.h
+    gu = jnp.stack([h[2, 1, :] - h[1, 2, :],
+                    h[0, 2, :] - h[2, 0, :],
+                    h[1, 0, :] - h[0, 1, :]])
+    return u, gu
+
+
+def test_taylor_green_3d_vector_potential():
+    spline = make_n_spline()
+    n_steps = 2
+    dt = 16.0 / (8 * NEL) / 4.0
+
+    # projectCurl IC (compatibleSplines.py:281-296): min-norm CG solve of
+    # the singular-but-consistent system
+    def proj_res(ctx, a, b):
+        ua, _ = curl_field(a)
+        vb, _ = curl_field(b)
+        return jnp.sum((ua - exact_tg3(ctx.x)) * vb)
+
+    A0 = spline.solve_linear_variational_problem(proj_res, apply_bcs=True)
+
+    def curl_err(ctx, a):
+        ua, _ = curl_field(a)
+        return jnp.sum((ua - exact_tg3(ctx.x)) ** 2)
+    e0 = math.sqrt(float(spline.assemble_functional(curl_err, U=A0)))
+    # coarse mesh: curl of projected potential approximates the TG field
+    assert e0 < 0.45 * math.pi ** 1.5  # ~8% of ||u|| (= sqrt(3/8 pi^3))
+
+    Adot0 = jnp.zeros_like(A0)
+    timeInt = GeneralizedAlphaIntegrator(1.0, dt, A0, (A0, Adot0))
+
+    def res(ctx, s, b_hat):
+        u, gu = curl_field(timeInt.x_alpha_of(s))
+        udot, _ = curl_field(timeInt.xdot_alpha_of(s))
+        v, gv = curl_field(b_hat)
+        eps_u = 0.5 * (gu + gu.T)
+        eps_v = 0.5 * (gv + gv.T)
+        Du_Dt = udot + gu @ u
+        return (DENS * jnp.sum(Du_Dt * v)
+                + 2.0 * VISC * jnp.sum(eps_u * eps_v))
+
+    for step in range(n_steps):
+        state = {"u": timeInt.x, "x_old": timeInt.x_old,
+                 "xdot_old": timeInt.xdot_old}
+        timeInt.x = spline.solve_nonlinear_variational_problem(res, U0=state)
+        timeInt.advance()
+
+    # exactly solenoidal by construction: div(curl A) = 0 pointwise
+    # (checked through the discrete jets)
+    def div_u(ctx, a):
+        # divergence of the curl from third... second derivatives: for the
+        # discrete field, div u = sum_i eps_{ijk} d2A_k/(dx_j dx_i) = 0 by
+        # Hessian symmetry of the tabulated basis
+        _, gu = curl_field(a)
+        return jnp.trace(gu) ** 2
+    div_err = float(spline.assemble_functional(div_u, U=timeInt.x_old))
+    assert div_err < 1e-22
