@@ -1,0 +1,93 @@
+"""Shell dynamics with nonlocal self-contact: the structural analog of
+demos/kl-shell-svk/reef-knot.py (which tightens a knotted T-spline tube with
+cKDTree pair forces added to the PETSc system before extraction,
+reef-knot.py:100-482).
+
+The original demo's knot geometry file is not distributed; this
+self-contained analog drops a clamped SVK membrane onto a previously
+deformed copy of itself via the all-pairs penalty contact of
+tigar_tpu.contact, driving the same machinery: pointwise pair potential
+with reference-configuration exclusion, AD-exact forces/tangents, manual
+Newton loop combining PDE and contact residuals (reef-knot.py:440-482),
+and backward-Euler-style damped dynamics (reef-knot.py:272-283).
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tigar_tpu.ops.knots import uniform_knots
+from tigar_tpu.models.bspline import ExplicitBSplineControlMesh
+from tigar_tpu.models.space import EqualOrderSpline
+from tigar_tpu.models.extracted import ExtractedSpline
+from tigar_tpu.models.shell import svk_psi_surface
+from tigar_tpu.contact import PointContact
+from tigar_tpu.forms import deriv
+from tigar_tpu.io import write_vtk, write_pvd
+
+NEL = int(os.environ.get("NEL", "6"))
+N_STEPS = int(os.environ.get("N_STEPS", "10"))
+
+mesh = ExplicitBSplineControlMesh(
+    [2, 2], [uniform_knots(2, 0.0, 1.0, NEL)] * 2, extra_dim=1)
+gen = EqualOrderSpline(3, mesh)
+basis = mesh.scalar_basis()
+for d in (0, 1):
+    for s in (0, 1):
+        dofs = basis.side_dofs(d, s)
+        for i in range(3):
+            gen.add_zero_dofs(i, dofs)
+spline = ExtractedSpline(gen, quad_degree=4, nders=2)
+spline.set_solver_options(max_iters=60, relative_tolerance=1e-4)
+
+E_mod, nu, h_th = 1.0e5, 0.3, 0.03
+DENS = 1.0
+DAMP = 5.0            # mass-proportional damping (reef-knot.py:272-283)
+DELTA_T = 2.0e-3
+LOAD = -8.0           # dead load pressing the membrane down
+
+contact = PointContact(spline, k=1e7, r_max=0.06, r_self=0.25)
+
+U = jnp.zeros(spline.ndof, dtype=spline.dtype)
+U_old = U
+mask = spline.mask
+
+
+def res(ctx, s, v):
+    u, uo = s["u"], s["u_old"]
+    udot = (u - uo) * (1.0 / DELTA_T)
+    dWint = deriv(lambda y: svk_psi_surface(ctx, y, E_mod, nu, h_th), u, v)
+    dWdamp = DENS * DAMP * h_th * jnp.sum(udot.val * v.val)
+    dWext = -LOAD * v.val[2]
+    return dWint + dWdamp + dWext
+
+
+series = []
+for step in range(N_STEPS):
+    print(f"--- step {step + 1} ---")
+    Ui = U
+    n0 = None
+    for it in range(spline.max_iters):
+        state = {"u": Ui, "u_old": U_old}
+        r = spline.assemble_vector(res, U=state) \
+            + mask * contact.residual(Ui)
+        nrm = float(jnp.linalg.norm(r))
+        n0 = nrm if n0 is None else n0
+        rel = nrm / n0 if n0 > 0 else 0.0
+        print(f"  Newton iteration {it}, relative norm {rel:.3e}")
+        if rel < spline.relative_tolerance:
+            break
+        A = spline.assemble_matrix(res, U=state)
+        Kc = jax.jacfwd(lambda uu: mask * contact.residual(uu))(Ui)
+        dU = jnp.linalg.solve(A + Kc, r)
+        Ui = Ui - dU
+    else:
+        raise SystemExit("Newton failed to converge")
+    U_old, U = U, Ui
+    fn = f"results_knot_{step:04d}.vtk"
+    write_vtk(fn, spline, fields={"d": U})
+    series.append(((step + 1) * DELTA_T, fn))
+write_pvd("results_knot.pvd", series)
+print("contact energy at final state:", float(contact.energy(U)))
