@@ -39,6 +39,12 @@ def bspline_basis_ders(ghost_knots, n_ghost, p, u, span, nders):
     u = np.asarray(u, dtype=np.float64)
     span = np.asarray(span, dtype=np.int64)
     n = u.shape[0]
+    if n >= 512:  # amortize ctypes overhead; exact same recurrence in C++
+        from .native import bspline_basis_ders_native
+        out = bspline_basis_ders_native(ghost_knots, n_ghost, p, u, span,
+                                        nders)
+        if out is not None:
+            return out
     U = np.asarray(ghost_knots, dtype=np.float64)
     off = int(n_ghost)
 
