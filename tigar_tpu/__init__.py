@@ -1,11 +1,11 @@
 """tigar_tpu: a TPU-native isogeometric analysis (IGA) framework in JAX.
 
 Re-designed from scratch with the capability surface of tIGAr
-(github.com/david-kamensky/tIGAr): B-spline / NURBS / T-spline /
-div- and curl-conforming compatible-spline discretizations of PDEs, with
-batched Bezier-element quadrature assembly, autodiff-derived residuals and
-tangents, matrix-free Krylov solvers, and GSPMD sharding over device meshes
-replacing the reference's FEniCS/PETSc/MPI substrate.
+(github.com/david-kamensky/tIGAr): B-spline / NURBS / multi-patch /
+T-spline / div- and curl-conforming compatible-spline discretizations of
+PDEs, with batched Bezier-element quadrature assembly, autodiff-derived
+residuals and tangents, matrix-free Krylov solvers, and GSPMD sharding over
+device meshes replacing the reference's FEniCS/PETSc/MPI substrate.
 """
 
 from . import config  # noqa: F401  (configures x64 at import)
@@ -13,7 +13,33 @@ from . import config  # noqa: F401  (configures x64 at import)
 from .ops.knots import (uniform_knots, KnotVector,  # noqa: F401
                         ij2dof, ijk2dof, dof2ij, dof2ijk)
 from .ops.quadrature import gauss_rule, gauss_rule_interval  # noqa: F401
+from .ops.refine import insert_knot, refine_axis, uniform_refine  # noqa: F401
 from .models.bspline import (TensorBSplineBasis, ScalarBasis,  # noqa: F401
                              ControlMesh, ExplicitBSplineControlMesh)
+from .models.nurbs import NURBSControlMesh  # noqa: F401
+from .models.multipatch import (MultiPatchBSplineBasis,  # noqa: F401
+                                MultiPatchControlMesh,
+                                read_legacy_multipatch)
+from .models.tsplines import (TSplineBasis, RhinoTSplineControlMesh,  # noqa: F401
+                              bspline_to_rhino_extraction)
+from .models.space import (SplineSpace, EqualOrderSpline,  # noqa: F401
+                           FieldListSpline)
+from .models.compatible import (BSplineCompat, generate_fields_compat,  # noqa: F401
+                                IteratedPenaltySolver,
+                                iterated_div_free_solve, div_free_project,
+                                piola_div)
+from .models.extracted import ExtractedSpline  # noqa: F401
+from .models import shell  # noqa: F401
+from .forms import (Jet, PhysField, QP, inner, dot, outer, sym, tr,  # noqa: F401
+                    cross, deriv, taylor_eval)
+from .timeint import (BackwardEulerIntegrator, LoadStepper,  # noqa: F401
+                      GeneralizedAlphaIntegrator,
+                      LinearDGSpaceTimeIntegrator, x_alpha)
+from .calculus import (CurvilinearTensor, curvilinear_inner,  # noqa: F401
+                       covariant_derivative, curvilinear_grad,
+                       curvilinear_div, spline_GRAD, spline_DIV)
+from .contact import PointContact  # noqa: F401
+from .io import (write_extraction, read_extraction, write_vtk,  # noqa: F401
+                 write_pvd)
 
 __version__ = "0.1.0"
