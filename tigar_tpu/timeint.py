@@ -190,10 +190,13 @@ class LinearDGSpaceTimeIntegrator:
     @staticmethod
     def _half(x, i):
         """Extract the i-th temporal node's fields from a doubled structure
-        (array or Jet with leading component axis)."""
+        (array or Jet with leading component axis).  A single field per time
+        node is returned as a scalar (reference: x_i, timeIntegration.py:
+        284-292)."""
         n = x.val.shape[0] // 2 if hasattr(x, "val") else x.shape[0] // 2
-        sl = slice(i * n, (i + 1) * n)
-        return x[sl]
+        if n == 1:
+            return x[i]
+        return x[slice(i * n, (i + 1) * n)]
 
     def t_hat_to_t(self, t_hat):
         a = 0.5 * (t_hat + 1.0)
