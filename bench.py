@@ -143,6 +143,30 @@ def main():
     assert np.isfinite(float(rnorm))
     assert np.all(np.isfinite(np.asarray(U1)))
 
+    # ---- f32 fast-path operator apply (Poisson stiffness) ----------------------
+    from tigar_tpu.ops.pallas_kernels import make_laplace_operator
+    nel_fast = int(os.environ.get("BENCH_NEL_FAST", "256"))
+    cm2 = ExplicitBSplineControlMesh(
+        [p, p], [uniform_knots(p, -1.0, 1.0, nel_fast)] * 2)
+    sp2 = EqualOrderSpline(1, cm2)
+    b2 = cm2.scalar_basis()
+    for direction in (0, 1):
+        for side in (0, 1):
+            sp2.add_zero_dofs(0, b2.side_dofs(direction, side))
+    spl2 = ExtractedSpline(sp2, quad_degree=2 * p)
+    asm2 = spl2._assembler("dx")
+    op32 = make_laplace_operator(asm2, spl2.mask)
+    Wp = jnp.asarray(np.random.default_rng(0).normal(size=spl2.ndof))
+    r32 = op32(Wp)
+    r32.block_until_ready()
+    t0 = time.time()
+    for _ in range(200):
+        r32 = op32(Wp)
+    r32.block_until_ready()
+    dt_fast = (time.time() - t0) / 200
+    log(f"f32 fast-path stiffness apply ({spl2.ndof} dofs): "
+        f"{dt_fast * 1e3:.3f} ms ({spl2.ndof / dt_fast:.3e} dof/s)")
+
     print(json.dumps({
         "metric": "kl_shell_assembled_dof_per_s",
         "value": dof_per_s,
@@ -154,6 +178,7 @@ def main():
             "dtype": str(spline.dtype),
             "residual_assembly_ms": dt_assembly * 1e3,
             "newton_step_solve_ms": dt_solve * 1e3,
+            "poisson_fastpath_apply_dof_per_s": spl2.ndof / dt_fast,
             "device": str(jax.devices()[0]),
         },
     }))
