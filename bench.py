@@ -160,11 +160,10 @@ def main():
     r32 = op32(Wp)
     r32.block_until_ready()
     t0 = time.time()
-    for _ in range(200):
-        r32 = op32(Wp)
-    r32.block_until_ready()
-    dt_fast = (time.time() - t0) / 200
-    log(f"f32 fast-path stiffness apply ({spl2.ndof} dofs): "
+    for _ in range(50):
+        op32(Wp).block_until_ready()  # per-call sync: honest latency
+    dt_fast = (time.time() - t0) / 50
+    log(f"f32 fast-path stiffness apply ({spl2.ndof} dofs, blocked): "
         f"{dt_fast * 1e3:.3f} ms ({spl2.ndof / dt_fast:.3e} dof/s)")
 
     print(json.dumps({
