@@ -183,3 +183,26 @@ def div_free_project(spline, to_project, get_velocity=None,
     U, _ = iterated_div_free_solve(res, spline, U0, w=w, penalty=penalty,
                                    div_op=div_op, apply_bcs=apply_bcs)
     return U
+
+
+def project_curl(spline, to_project, apply_bcs=False):
+    """Project a physical vector field onto the curl of an N-type vector
+    potential in ``spline`` (reference: ExtractedBSplineN.projectCurl,
+    compatibleSplines.py:281-296).  The system is singular up to a gradient;
+    a Krylov solve picks the minimum-norm representative, so the spline's
+    linear solver should be iterative ('cg').
+
+    Valid on explicit (identity-map) geometry, where the N-pushforward is
+    the identity and u = curl(A) needs only the potential's parametric jet.
+    """
+    def curl_of(a):
+        g = a.g
+        return jnp.stack([g[2, 1] - g[1, 2],
+                          g[0, 2] - g[2, 0],
+                          g[1, 0] - g[0, 1]])
+
+    def res(ctx, a, b):
+        return jnp.sum((curl_of(a) - jnp.asarray(to_project(ctx)))
+                       * curl_of(b))
+
+    return spline.solve_linear_variational_problem(res, apply_bcs=apply_bcs)
