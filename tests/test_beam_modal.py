@@ -50,3 +50,43 @@ def test_beam_natural_frequencies():
     # sanity: first mode is zero at the clamped end and has a free tip
     u0 = np.asarray(modes[:, 0])
     assert abs(u0[0]) < 1e-10 and abs(u0[1]) < 1e-10
+
+
+def test_lobpcg_matrix_free_laplace_spectrum():
+    """Shift-invert LOBPCG with matrix-free CG inner solves: smallest
+    Dirichlet-Laplace eigenvalues on the unit square are (i^2+j^2) pi^2."""
+    import jax.numpy as jnp
+    from tigar_tpu.solvers.eigen import lobpcg_smallest
+    from tigar_tpu.solvers.linear import solve_krylov, jacobi_preconditioner
+
+    p, nel = 2, 20
+    cm = ExplicitBSplineControlMesh(
+        [p, p], [uniform_knots(p, 0.0, 1.0, nel)] * 2)
+    sp = EqualOrderSpline(1, cm)
+    basis = sp.get_scalar_spline()
+    for d in (0, 1):
+        for s in (0, 1):
+            sp.add_zero_dofs(0, basis.side_dofs(d, s))
+    spline = ExtractedSpline(sp, quad_degree=2 * p)
+
+    def a(ctx, u, v):
+        return jnp.sum(ctx.grad(u) * ctx.grad(v))
+
+    # constrained DoFs carry a large diagonal so their modes shift high
+    action = spline.matrix_operator(a, diag=1e8)
+    diag = spline.assemble_diagonal(a, diag=1e8)
+    M = jacobi_preconditioner(diag)
+
+    def solve_A(w):
+        return solve_krylov(action, w, method="cg", tol=1e-12, M=M)
+
+    def Lones(ctx, v):
+        return v.val
+    m_lump = spline.assemble_vector(Lones, apply_bcs=False)
+    m_lump = spline.mask * m_lump + (1.0 - spline.mask)
+
+    lam, X = lobpcg_smallest(solve_A, m_lump, 3, spline.ndof, maxiter=100)
+    exact = np.asarray([2.0, 5.0, 5.0]) * np.pi ** 2
+    rel = np.abs(np.asarray(lam) - exact) / exact
+    # lumped (row-sum) mass is 2nd-order: few-percent accuracy expected
+    assert np.all(rel < 0.04), (np.asarray(lam), exact)
