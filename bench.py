@@ -67,6 +67,30 @@ def main():
     log(f"preprocess (tabulation+geometry): {time.time() - t0:.2f}s; "
         f"nel={asm.nel}, ndof={spline.ndof}, nq={asm.nq}")
 
+    # ---- f32 fast-path operator apply (Poisson stiffness) ----------------------
+    from tigar_tpu.ops.pallas_kernels import make_laplace_operator
+    nel_fast = int(os.environ.get("BENCH_NEL_FAST", "256"))
+    cm2 = ExplicitBSplineControlMesh(
+        [p, p], [uniform_knots(p, -1.0, 1.0, nel_fast)] * 2)
+    sp2 = EqualOrderSpline(1, cm2)
+    b2 = cm2.scalar_basis()
+    for direction in (0, 1):
+        for side in (0, 1):
+            sp2.add_zero_dofs(0, b2.side_dofs(direction, side))
+    spl2 = ExtractedSpline(sp2, quad_degree=2 * p)
+    asm2 = spl2._assembler("dx")
+    op32 = make_laplace_operator(asm2, spl2.mask)
+    Wp = jnp.asarray(np.random.default_rng(0).normal(size=spl2.ndof))
+    r32 = op32(Wp)
+    r32.block_until_ready()
+    t0 = time.time()
+    for _ in range(50):
+        op32(Wp).block_until_ready()  # per-call sync: honest latency
+    dt_fast = (time.time() - t0) / 50
+    log(f"f32 fast-path stiffness apply ({spl2.ndof} dofs, blocked): "
+        f"{dt_fast * 1e3:.3f} ms ({spl2.ndof / dt_fast:.3e} dof/s)")
+
+
     E_mod, nu, h_th, q = 1.0e7, 0.3, 0.03, 1.0e-2
 
     def res_density(ctx, u, v):
@@ -142,29 +166,6 @@ def main():
         f"{dt_solve * 1e3:.1f} ms; |r|={float(rnorm):.3e}")
     assert np.isfinite(float(rnorm))
     assert np.all(np.isfinite(np.asarray(U1)))
-
-    # ---- f32 fast-path operator apply (Poisson stiffness) ----------------------
-    from tigar_tpu.ops.pallas_kernels import make_laplace_operator
-    nel_fast = int(os.environ.get("BENCH_NEL_FAST", "256"))
-    cm2 = ExplicitBSplineControlMesh(
-        [p, p], [uniform_knots(p, -1.0, 1.0, nel_fast)] * 2)
-    sp2 = EqualOrderSpline(1, cm2)
-    b2 = cm2.scalar_basis()
-    for direction in (0, 1):
-        for side in (0, 1):
-            sp2.add_zero_dofs(0, b2.side_dofs(direction, side))
-    spl2 = ExtractedSpline(sp2, quad_degree=2 * p)
-    asm2 = spl2._assembler("dx")
-    op32 = make_laplace_operator(asm2, spl2.mask)
-    Wp = jnp.asarray(np.random.default_rng(0).normal(size=spl2.ndof))
-    r32 = op32(Wp)
-    r32.block_until_ready()
-    t0 = time.time()
-    for _ in range(50):
-        op32(Wp).block_until_ready()  # per-call sync: honest latency
-    dt_fast = (time.time() - t0) / 50
-    log(f"f32 fast-path stiffness apply ({spl2.ndof} dofs, blocked): "
-        f"{dt_fast * 1e3:.3f} ms ({spl2.ndof / dt_fast:.3e} dof/s)")
 
     print(json.dumps({
         "metric": "kl_shell_assembled_dof_per_s",
