@@ -45,7 +45,6 @@ def main():
     from tigar_tpu.models.extracted import ExtractedSpline
     from tigar_tpu.models.shell import svk_psi_surface
     from tigar_tpu.forms import deriv
-    from tigar_tpu.solvers.linear import solve_krylov, jacobi_preconditioner
 
     log("devices:", jax.devices())
     nel = int(os.environ.get("BENCH_NEL", "64"))

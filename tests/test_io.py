@@ -94,3 +94,18 @@ def test_vtk_output(tmp_path):
     # pvd series
     write_pvd(str(tmp_path / "u.pvd"), [(0.0, "u.vtk")])
     assert "Collection" in open(str(tmp_path / "u.pvd")).read()
+
+
+def test_extracted_spline_from_directory(tmp_path):
+    """ExtractedSpline(dirname, quad_degree) constructor parity
+    (common.py:676-706)."""
+    from tigar_tpu.models.extracted import ExtractedSpline as ES
+    p, nel = 2, 5
+    cm = ExplicitBSplineControlMesh(
+        [p, p], [uniform_knots(p, 0.0, 1.0, nel)] * 2)
+    sp = EqualOrderSpline(1, cm)
+    write_extraction(sp, str(tmp_path / "x"))
+    spline = ES(str(tmp_path / "x"), quad_degree=2 * p)
+    assert spline.ndof == sp.ndof
+    area = float(spline.assemble_functional(lambda ctx: 1.0))
+    assert np.isclose(area, 1.0, atol=1e-12)

@@ -105,12 +105,7 @@ def test_legacy_multipatch_reader(tmp_path):
     for i, x0 in enumerate([0.0, 2.0]):
         lines = ["2", "2 1", "3 2",
                  "0 0 0 1 1 1", "0 0 1 1"]
-        # 3x2 control points: quarter arc x two radii; (x, y, w) with w last
-        for j, r in enumerate([1.0, 2.0]):
-            for k, (dx, dy, w) in enumerate([(1, 0, 1.0), (1, 1, s),
-                                             (0, 1, 1.0)]):
-                pass
-        # order: i fastest (angular), j radial
+        # 3x2 control points, i fastest (angular), j radial; w last
         pts = []
         for j, r in enumerate([1.0, 2.0]):
             for (dx, dy, w) in [(1, 0, 1.0), (1, 1, s), (0, 1, 1.0)]:

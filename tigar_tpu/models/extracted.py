@@ -75,8 +75,13 @@ class ExtractedSpline:
                   gradients / Christoffel symbols are needed.
     """
 
-    def __init__(self, space: SplineSpace, quad_degree, nders=1,
+    def __init__(self, space, quad_degree, nders=1,
                  geom_nders=None):
+        if isinstance(space, str):
+            # construct from serialized extraction data (reference:
+            # ExtractedSpline(dirname, quadDeg), common.py:676-706)
+            from ..io import read_extraction
+            space = read_extraction(space)
         self.space = space
         self.quad_degree = int(quad_degree)
         self.npts = npoints_for_degree(quad_degree)
