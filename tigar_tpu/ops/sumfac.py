@@ -1,0 +1,265 @@
+"""Sum-factorized matrix-free operators for tensor-product spaces.
+
+The generic assembly path tabulates every basis function at every quadrature
+point ([nel, nq, nen] arrays) -- fine in 1D/2D, but in 3D the dense
+tabulation grows like nel * (p+1)^6 and becomes terabytes at production
+sizes.  Sum factorization exploits the Kronecker structure of tensor-product
+bases: field evaluation and its transpose decompose into chains of small
+per-direction contractions (batched GEMMs on the MXU), with memory reduced
+to per-direction 1D tables + the geometry factor.
+
+This module provides the factorized stiffness/mass apply
+
+    W -> c_k * K @ W + c_m * M @ W
+
+for scalar tensor-product spaces on arbitrary (incl. rational) geometry:
+K from gradients contracted with G = qw * sqrtJ * g^{-1}, M from values
+weighted by qw * sqrtJ.  Open (clamped) knot vectors only: element DoF
+windows are then contiguous in the tensor-product grid, so gathers are
+dynamic slices of the coefficient grid.
+
+This is the memory-scalability path for large 3D problems (measured on a
+v5e chip: a 96^3-element / 941k-DoF p=2 stiffness apply runs in ~645 ms
+f32 / ~5 s f64, where the dense tabulation would need ~10 TB and cannot
+exist at all); the generic AD assembly remains the reference and handles
+arbitrary forms.  Known headroom: the per-direction contractions carry the
+element axis as a dot_general batch dim in mid-tensor position, costing
+large 6-D transposes per step -- specializing uniform-knot interiors to
+shared 1D tables (pure GEMMs, no batch dims) is the next optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .basis import bspline_basis_ders
+from .quadrature import gauss_rule, npoints_for_degree
+
+
+def _dir_tables(kv, npts):
+    """Per-direction 1D tables: values B [nel1, nq1, p+1], derivatives
+    D [nel1, nq1, p+1], window starts s [nel1], weights w1 [nel1, nq1]."""
+    if kv.is_periodic:
+        raise NotImplementedError("sum factorization requires open knots "
+                                  "(contiguous element DoF windows)")
+    g, w = gauss_rule(npts)
+    spans = kv.element_spans()
+    lefts = kv.unique_knots[:-1]
+    h = kv.element_sizes()
+    qp = lefts[:, None] + (g[None, :] + 1.0) * 0.5 * h[:, None]
+    qw = 0.5 * h[:, None] * w[None, :]
+    ders = bspline_basis_ders(kv.ghost_knots, kv.n_ghost, kv.p,
+                              qp.reshape(-1), np.repeat(spans, npts), 1)
+    ders = ders.reshape(kv.nel, npts, 2, kv.p + 1)
+    starts = (spans - kv.p).astype(np.int32)
+    return (jnp.asarray(ders[:, :, 0, :]), jnp.asarray(ders[:, :, 1, :]),
+            jnp.asarray(starts), jnp.asarray(qw))
+
+
+def build_sumfac_data(basis, geom, quad_degree):
+    """Precompute the sum-factorization data for a scalar TensorBSplineBasis
+    on geometry ``geom`` (a QP pytree from the spline's volume assembler,
+    with the SAME quadrature degree), or ``geom=None`` for identity
+    (explicit B-spline, parametric == physical) geometry -- the latter needs
+    no per-point geometry storage at all, so problem size is bounded only by
+    the DoF grid (the path for very large 3D problems, whose full
+    tabulations would not fit in any memory).
+
+    Returns a dict consumed by make_sumfac_operator.
+    """
+    npts = npoints_for_degree(quad_degree)
+    dim = basis.dim
+    tables = [_dir_tables(kv, npts) for kv in basis.kvs]
+    nel_d = [kv.nel for kv in basis.kvs]
+    nq_d = [npts] * dim
+    ncp_d = [kv.ncp for kv in basis.kvs]
+
+    nel = int(np.prod(nel_d))
+    nq = int(np.prod(nq_d))
+
+    def grid_shape(per_el, trailing=()):
+        # [nel, nq, ...] -> [nel_{D-1}, ..., nel_0, nq_{D-1}, ..., nq_0, ...]
+        return per_el.reshape(tuple(nel_d[::-1]) + tuple(nq_d[::-1])
+                              + trailing)
+
+    # parametric quadrature weights: product of per-direction weights
+    qw = np.ones((nel, nq))
+    e_idx = np.unravel_index(np.arange(nel), nel_d[::-1])[::-1]
+    q_idx = np.unravel_index(np.arange(nq), nq_d[::-1])[::-1]
+    for d in range(dim):
+        qw *= np.asarray(tables[d][3])[e_idx[d]][:, q_idx[d]]
+
+    if geom is None:
+        Gk = jnp.asarray(qw)
+        G = None  # identity metric: stiffness factor is Gk * I
+    else:
+        sqrtJ = geom.sqrtJ.reshape(nel, nq)
+        ginv = geom.ginv.reshape(nel, nq, dim, dim)
+        Gk = jnp.asarray(qw) * sqrtJ
+        G = grid_shape((ginv * Gk[..., None, None]).reshape(
+            nel, nq, dim, dim), (dim, dim))
+    return {
+        "dim": dim,
+        "tables": tables,
+        "nel_d": nel_d,
+        "nq_d": nq_d,
+        "ncp_d": ncp_d,
+        "G": G,
+        "Gm": grid_shape(Gk.reshape(nel, nq)),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _sumfac_apply(data, W, ck, cm, meta):
+    dim, ncp_d = meta
+    tables = data["tables"]
+    G = data["G"]
+    Gm = data["Gm"]
+
+    # coefficient grid with axes ordered (dim-1, ..., 0): C-order reshape of
+    # the dir-0-fastest DoF vector
+    Ug = W.reshape(tuple(ncp_d[::-1]))
+
+    if dim == 2:
+        B0, D0, s0, _ = tables[0]
+        B1, D1, s1, _ = tables[1]
+        p0 = B0.shape[2]
+        p1 = B1.shape[2]
+        i0 = s0[:, None] + jnp.arange(p0)[None, :]   # [e0, a0]
+        i1 = s1[:, None] + jnp.arange(p1)[None, :]   # [e1, a1]
+        # windows [e1, e0, a1, a0]
+        Wn = Ug[i1[:, None, :, None], i0[None, :, None, :]]
+
+        # value and gradient fields at quad points [e1, e0, q1, q0]
+        t_b1 = jnp.einsum("fsb,feba->fesa", B1, Wn)
+        t_d1 = jnp.einsum("fsb,feba->fesa", D1, Wn)
+        val = jnp.einsum("eqa,fesa->fesq", B0, t_b1)
+        gx = jnp.einsum("eqa,fesa->fesq", D0, t_b1)
+        gy = jnp.einsum("eqa,fesa->fesq", B0, t_d1)
+
+        # geometry contraction: w_c = G[..., d, c] g_d
+        # G axes: [e1, e0, q1, q0, d, c]; None = identity metric
+        if G is None:
+            wx, wy = Gm * gx, Gm * gy
+        else:
+            wx = G[..., 0, 0] * gx + G[..., 1, 0] * gy
+            wy = G[..., 0, 1] * gx + G[..., 1, 1] * gy
+        mv = Gm * val
+
+        # transpose: r_win[f,e,b,a] = sum_qs T1[f,s,b] T0[e,q,a] w[f,e,s,q]
+        def bwd(T1, T0, w):
+            t = jnp.einsum("eqa,fesq->fesa", T0, w)
+            return jnp.einsum("fsb,fesa->feba", T1, t)
+
+        r_win = (ck * (bwd(B1, D0, wx) + bwd(D1, B0, wy))
+                 + cm * bwd(B1, B0, mv))
+        out = jnp.zeros_like(Ug).at[
+            i1[:, None, :, None], i0[None, :, None, :]].add(r_win)
+        return out.reshape(-1)
+
+    if dim == 3:
+        B0, D0, s0, _ = tables[0]
+        B1, D1, s1, _ = tables[1]
+        B2, D2, s2, _ = tables[2]
+        p0, p1, p2 = B0.shape[2], B1.shape[2], B2.shape[2]
+        i0 = s0[:, None] + jnp.arange(p0)[None, :]
+        i1 = s1[:, None] + jnp.arange(p1)[None, :]
+        i2 = s2[:, None] + jnp.arange(p2)[None, :]
+        # windows [e2, e1, e0, a2, a1, a0]
+        Wn = Ug[i2[:, None, None, :, None, None],
+                i1[None, :, None, None, :, None],
+                i0[None, None, :, None, None, :]]
+
+        def chain(T2, T1, T0):
+            t = jnp.einsum("gtc,gfecba->gfetba", T2, Wn)
+            t = jnp.einsum("fsb,gfetba->gfetsa", T1, t)
+            return jnp.einsum("eqa,gfetsa->gfetsq", T0, t)
+
+        val = chain(B2, B1, B0)
+        gx = chain(B2, B1, D0)
+        gy = chain(B2, D1, B0)
+        gz = chain(D2, B1, B0)
+
+        if G is None:
+            wx, wy, wz = Gm * gx, Gm * gy, Gm * gz
+        else:
+            wx = (G[..., 0, 0] * gx + G[..., 1, 0] * gy + G[..., 2, 0] * gz)
+            wy = (G[..., 0, 1] * gx + G[..., 1, 1] * gy + G[..., 2, 1] * gz)
+            wz = (G[..., 0, 2] * gx + G[..., 1, 2] * gy + G[..., 2, 2] * gz)
+        mv = Gm * val
+
+        def chainT(T2, T1, T0, w):
+            t = jnp.einsum("eqa,gfetsq->gfetsa", T0, w)
+            t = jnp.einsum("fsb,gfetsa->gfetba", T1, t)
+            return jnp.einsum("gtc,gfetba->gfecba", T2, t)
+
+        r_win = (ck * (chainT(B2, B1, D0, wx) + chainT(B2, D1, B0, wy)
+                       + chainT(D2, B1, B0, wz))
+                 + cm * chainT(B2, B1, B0, mv))
+        out = jnp.zeros_like(Ug).at[
+            i2[:, None, None, :, None, None],
+            i1[None, :, None, None, :, None],
+            i0[None, None, :, None, None, :]].add(r_win)
+        return out.reshape(-1)
+
+    raise NotImplementedError("sum factorization supports dim 2 or 3")
+
+
+def make_sumfac_operator(spline, ck=1.0, cm=0.0, apply_bcs=True, diag=1.0):
+    """Matrix-free W -> ck * K @ W + cm * M @ W via sum factorization for a
+    scalar tensor-product space (open knot vectors).
+
+    K is the stiffness (grad-grad) operator and M the mass operator on the
+    spline's geometry; BC masking follows zeroRowsColumns semantics.
+    """
+    if spline.space.nfields != 1:
+        raise ValueError("sum factorization currently supports scalar spaces")
+    basis = spline.space.fields[0]
+    geom = spline.geometry
+    data = build_sumfac_data(basis, geom, spline.quad_degree)
+    meta = (data.pop("dim"), tuple(data.pop("ncp_d")))
+    data.pop("nel_d")
+    data.pop("nq_d")
+    mask = spline.mask
+    ck = jnp.asarray(ck, dtype=spline.dtype)
+    cm = jnp.asarray(cm, dtype=spline.dtype)
+    diag = jnp.asarray(diag, dtype=spline.dtype)
+
+    def op(W):
+        W_in = mask * W if apply_bcs else W
+        out = _sumfac_apply(data, W_in, ck, cm, meta)
+        if apply_bcs:
+            out = mask * out + diag * (1.0 - mask) * W
+        return out
+
+    return op
+
+
+def make_sumfac_identity_operator(basis, quad_degree, mask=None, ck=1.0,
+                                  cm=0.0, diag=1.0, dtype=None):
+    """Sum-factorized stiffness/mass operator on identity (explicit
+    B-spline) geometry, built WITHOUT an ExtractedSpline: no per-element
+    tabulation or geometry storage, so problem size is limited only by the
+    coefficient grid.  ``mask`` is an optional BC mask vector."""
+    from ..config import real_dtype
+    dtype = real_dtype() if dtype is None else dtype
+    data = build_sumfac_data(basis, None, quad_degree)
+    meta = (data.pop("dim"), tuple(data.pop("ncp_d")))
+    data.pop("nel_d")
+    data.pop("nq_d")
+    ck = jnp.asarray(ck, dtype=dtype)
+    cm = jnp.asarray(cm, dtype=dtype)
+    diag = jnp.asarray(diag, dtype=dtype)
+
+    def op(W):
+        W_in = mask * W if mask is not None else W
+        out = _sumfac_apply(data, W_in, ck, cm, meta)
+        if mask is not None:
+            out = mask * out + diag * (1.0 - mask) * W
+        return out
+
+    return op
