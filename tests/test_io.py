@@ -109,3 +109,14 @@ def test_extracted_spline_from_directory(tmp_path):
     assert spline.ndof == sp.ndof
     area = float(spline.assemble_functional(lambda ctx: 1.0))
     assert np.isclose(area, 1.0, atol=1e-12)
+
+
+def test_state_checkpoint_roundtrip(tmp_path):
+    from tigar_tpu.io import save_state, load_state
+    import jax.numpy as jnp
+    U = jnp.arange(10.0)
+    V = jnp.ones(3)
+    save_state(str(tmp_path / "ckpt.npz"), u=U, xdot_old=V, step=np.asarray(7))
+    st = load_state(str(tmp_path / "ckpt.npz"))
+    assert np.allclose(st["u"], np.arange(10.0))
+    assert int(st["step"]) == 7

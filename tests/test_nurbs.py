@@ -184,3 +184,27 @@ def test_poisson_nonzero_bc():
     # lumped projection of the boundary data is only 2nd-order accurate
     # (poisson-nonzero-bc.py:89-90), so expect ~h^2 here
     assert errl < 2e-2
+
+
+def test_trivariate_nurbs_volume():
+    """Exact trivariate rational geometry: a quarter-annulus extruded in z
+    (degrees [2,2,1]); volume = 3*pi/4 * H to near machine precision."""
+    from tigar_tpu.models.nurbs import quarter_annulus_control
+
+    degrees2, kvecs2, ctrl2 = quarter_annulus_control()
+    H = 0.7
+    degrees = degrees2 + [1]
+    kvecs = kvecs2 + [np.asarray([0.0, 0.0, 1.0, 1.0])]
+    # extrude: homogeneous (wx, wy, wz, w) with z in {0, H}
+    ctrl = np.zeros((3, 3, 2, 4))
+    for k, z in enumerate([0.0, H]):
+        ctrl[:, :, k, 0] = ctrl2[:, :, 0]
+        ctrl[:, :, k, 1] = ctrl2[:, :, 1]
+        ctrl[:, :, k, 2] = z * ctrl2[:, :, 2]   # w*z
+        ctrl[:, :, k, 3] = ctrl2[:, :, 2]       # w
+    cm = NURBSControlMesh(degrees, kvecs, ctrl)
+    assert cm.nsd == 3
+    sp = EqualOrderSpline(1, cm)
+    spline = ExtractedSpline(sp, quad_degree=12)
+    vol = float(spline.assemble_functional(lambda ctx: 1.0))
+    assert np.isclose(vol, 0.75 * np.pi * H, rtol=1e-9)

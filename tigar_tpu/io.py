@@ -260,3 +260,19 @@ def write_pvd(fname, series):
     lines += [' </Collection>', '</VTKFile>']
     with open(fname, "w") as f:
         f.write("\n".join(lines) + "\n")
+
+
+# -- solution-state checkpointing ---------------------------------------------
+
+def save_state(fname, **arrays):
+    """Checkpoint solution state (DoF vectors, time-integrator history,
+    multipliers, step counters...) to one npz file.  The reference has no
+    solution checkpointing (SURVEY.md section 5.4: time series go to
+    ParaView only); this provides restartable stepping loops."""
+    np.savez(fname, **{k: np.asarray(v) for k, v in arrays.items()})
+
+
+def load_state(fname):
+    """Load a checkpoint written by save_state; returns a dict of arrays."""
+    with np.load(fname) as data:
+        return {k: data[k] for k in data.files}

@@ -486,17 +486,21 @@ class ExtractedSpline:
 
     # -- point evaluation --------------------------------------------------------
 
-    def evaluate(self, U, xi, rationalize=True):
+    def evaluate(self, U, xi, rationalize=True, **kwargs):
         """Evaluate the solution at parametric points ``xi`` [n, dim].
         Returns [n] (scalar space) or [n, nfields].  With ``rationalize``,
-        divides by the control weight function (physical representation)."""
+        divides by the control weight function (physical representation).
+        Extra kwargs are forwarded to the basis (e.g. ``element=`` for
+        T-splines, ``patch=`` for multi-patch)."""
         U = np.asarray(U)
         xi = np.atleast_2d(np.asarray(xi, dtype=float))
-        vals = [self.space.fields[f].evaluate(U[self.space.field_slice(f)], xi)
+        vals = [self.space.fields[f].evaluate(
+                    U[self.space.field_slice(f)], xi, **kwargs)
                 for f in range(self.space.nfields)]
         out = np.stack(vals, axis=-1)
         if rationalize:
-            w = self.control_basis.evaluate(np.asarray(self.bnet)[:, -1], xi)
+            w = self.control_basis.evaluate(np.asarray(self.bnet)[:, -1],
+                                            xi, **kwargs)
             out = out / w[:, None]
         return out[:, 0] if self.space.nfields == 1 else out
 
