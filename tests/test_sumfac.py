@@ -109,3 +109,30 @@ def test_sumfac_identity_geometry():
                                         ck=1.0, cm=0.7)(W)
     rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
     assert rel < 1e-13, rel
+
+
+def test_sumfac_gather_fallback_continuity_drop():
+    """Knot vectors with interior multiplicity > 1 break stride-1 windows;
+    the gather path must be selected and agree with the AD action."""
+    from tigar_tpu.ops.sumfac import build_sumfac_data
+    p, nel = 2, 6
+    kv = uniform_knots(p, 0.0, 1.0, nel, continuity_drop=1)
+    cm_ = ExplicitBSplineControlMesh([p, p], [kv, kv])
+    sp = EqualOrderSpline(1, cm_)
+    spline = ExtractedSpline(sp, quad_degree=2 * p)
+    data = build_sumfac_data(sp.fields[0], spline.geometry,
+                             spline.quad_degree)
+    assert not data["sliding"]
+    _check_operator(spline, 1.0, 0.5)
+
+
+def test_sumfac_sliding_selected():
+    from tigar_tpu.ops.sumfac import build_sumfac_data
+    p, nel = 2, 5
+    cm_ = ExplicitBSplineControlMesh(
+        [p, p], [uniform_knots(p, 0.0, 1.0, nel)] * 2)
+    sp = EqualOrderSpline(1, cm_)
+    spline = ExtractedSpline(sp, quad_degree=2 * p)
+    data = build_sumfac_data(sp.fields[0], spline.geometry,
+                             spline.quad_degree)
+    assert data["sliding"]

@@ -18,14 +18,15 @@ weighted by qw * sqrtJ.  Open (clamped) knot vectors only: element DoF
 windows are then contiguous in the tensor-product grid, so gathers are
 dynamic slices of the coefficient grid.
 
-This is the memory-scalability path for large 3D problems (measured on a
-v5e chip: a 96^3-element / 941k-DoF p=2 stiffness apply runs in ~645 ms
-f32 / ~5 s f64, where the dense tabulation would need ~10 TB and cannot
-exist at all); the generic AD assembly remains the reference and handles
-arbitrary forms.  Known headroom: the per-direction contractions carry the
-element axis as a dot_general batch dim in mid-tensor position, costing
-large 6-D transposes per step -- specializing uniform-knot interiors to
-shared 1D tables (pure GEMMs, no batch dims) is the next optimization.
+Two apply formulations, selected automatically:
+ - sliding-window (maximal-continuity open knots, stride-1 windows): every
+   direction contraction is p+1 shifted slice multiply-adds -- no gathers,
+   the fast path (measured on a v5e chip at 96^3 elements / 941k DoFs, p=2:
+   144 ms f64 / 44 ms f32 per stiffness apply; the dense tabulation would
+   need ~10 TB and cannot exist at all);
+ - generic gather-based windows (reduced-continuity knot vectors), ~25x
+   slower on TPU because multi-axis gathers scalarize.
+The generic AD assembly remains the reference and handles arbitrary forms.
 """
 
 from __future__ import annotations
@@ -93,6 +94,22 @@ def build_sumfac_data(basis, geom, quad_degree):
     for d in range(dim):
         qw *= np.asarray(tables[d][3])[e_idx[d]][:, q_idx[d]]
 
+    # maximal-continuity open knots have stride-1 element windows, enabling
+    # the gather-free sliding-window apply with interleaved (e_d, q_d) axes
+    sliding = all(
+        np.array_equal(np.asarray(t[2]), np.arange(len(np.asarray(t[2]))))
+        for t in tables)
+    if sliding:
+        perm = {2: (0, 2, 1, 3), 3: (0, 3, 1, 4, 2, 5)}[dim]
+
+        def layout(per_el, trailing=()):
+            x = grid_shape(per_el, trailing)
+            nt = len(trailing)
+            return jnp.transpose(
+                x, perm + tuple(range(2 * dim, 2 * dim + nt)))
+    else:
+        layout = grid_shape
+
     if geom is None:
         Gk = jnp.asarray(qw)
         G = None  # identity metric: stiffness factor is Gk * I
@@ -100,7 +117,7 @@ def build_sumfac_data(basis, geom, quad_degree):
         sqrtJ = geom.sqrtJ.reshape(nel, nq)
         ginv = geom.ginv.reshape(nel, nq, dim, dim)
         Gk = jnp.asarray(qw) * sqrtJ
-        G = grid_shape((ginv * Gk[..., None, None]).reshape(
+        G = layout((ginv * Gk[..., None, None]).reshape(
             nel, nq, dim, dim), (dim, dim))
     return {
         "dim": dim,
@@ -108,9 +125,104 @@ def build_sumfac_data(basis, geom, quad_degree):
         "nel_d": nel_d,
         "nq_d": nq_d,
         "ncp_d": ncp_d,
+        "sliding": sliding,
         "G": G,
-        "Gm": grid_shape(Gk.reshape(nel, nq)),
+        "Gm": layout(Gk.reshape(nel, nq)),
     }
+
+
+@functools.partial(jax.jit, static_argnames=("meta",))
+def _sumfac_apply_sliding(data, W, ck, cm, meta):
+    """Sliding-window formulation for maximal-continuity (C^{p-1}) open
+    knot vectors, where element DoF windows have stride 1: every direction
+    contraction becomes p+1 shifted slice multiply-adds -- no gathers, no
+    batched dot_generals, no big transposes (TPU gathers with
+    multi-dimensional index vectors are the dominant cost of the generic
+    path).  Quadrature-field axis layout: (e_{D-1}, q_{D-1}, ..., e_0, q_0).
+    """
+    dim, ncp_d = meta
+    tables = data["tables"]
+    G = data["G"]
+    Gm = data["Gm"]
+    Ug = W.reshape(tuple(ncp_d[::-1]))
+
+    def fwd(x, T, axis_from_last):
+        """Contract the axis ``axis_from_last`` positions before the end
+        (0 = last) with sliding windows; the contracted axis is replaced by
+        two axes (e, q) in place."""
+        nel, nq, pp = T.shape
+        ax = x.ndim - 1 - axis_from_last
+        xm = jnp.moveaxis(x, ax, -1)              # [..., n]
+        out = 0.0
+        for a in range(pp):
+            out = out + xm[..., a:a + nel, None] * T[:, :, a]
+        # out: [..., e, q]; move both back to position ax
+        out = jnp.moveaxis(out, (-2, -1), (ax, ax + 1))
+        return out
+
+    def bwd(w, T, axis_from_last):
+        """Transpose of fwd: (e, q) axis pair at position ax collapses back
+        to the DoF axis via q-contraction + shifted adds."""
+        nel, nq, pp = T.shape
+        ax = w.ndim - 2 - axis_from_last  # position of e-axis
+        wm = jnp.moveaxis(w, (ax, ax + 1), (-2, -1))  # [..., e, q]
+        n_out = nel + pp - 1
+        out = jnp.zeros(wm.shape[:-2] + (n_out,), dtype=w.dtype)
+        for a in range(pp):
+            # y_a[..., e] = sum_q T[e, q, a] w[..., e, q]
+            y = jnp.sum(wm * T[:, :, a], axis=-1)
+            out = out.at[..., a:a + nel].add(y)
+        return jnp.moveaxis(out, -1, ax)
+
+    # forward: innermost (dir 0) first; axis offsets account for the new
+    # q axes appended next to each element axis
+    if dim == 2:
+        B0, D0, _, _ = tables[0]
+        B1, D1, _, _ = tables[1]
+        # [n1, n0] -> [n1, e0, q0] -> [e1, q1, e0, q0]
+        val = fwd(fwd(Ug, B0, 0), B1, 2)
+        gx = fwd(fwd(Ug, D0, 0), B1, 2)
+        gy = fwd(fwd(Ug, B0, 0), D1, 2)
+        if G is None:
+            wx, wy = Gm * gx, Gm * gy
+        else:
+            wx = G[..., 0, 0] * gx + G[..., 1, 0] * gy
+            wy = G[..., 0, 1] * gx + G[..., 1, 1] * gy
+        mv = Gm * val
+        r = (ck * (bwd(bwd(wx, B1, 2), D0, 0)
+                   + bwd(bwd(wy, D1, 2), B0, 0))
+             + cm * bwd(bwd(mv, B1, 2), B0, 0))
+        return r.reshape(-1)
+
+    if dim == 3:
+        B0, D0, _, _ = tables[0]
+        B1, D1, _, _ = tables[1]
+        B2, D2, _, _ = tables[2]
+
+        def chain(T2, T1, T0):
+            return fwd(fwd(fwd(Ug, T0, 0), T1, 2), T2, 4)
+
+        val = chain(B2, B1, B0)
+        gx = chain(B2, B1, D0)
+        gy = chain(B2, D1, B0)
+        gz = chain(D2, B1, B0)
+        if G is None:
+            wx, wy, wz = Gm * gx, Gm * gy, Gm * gz
+        else:
+            wx = (G[..., 0, 0] * gx + G[..., 1, 0] * gy + G[..., 2, 0] * gz)
+            wy = (G[..., 0, 1] * gx + G[..., 1, 1] * gy + G[..., 2, 1] * gz)
+            wz = (G[..., 0, 2] * gx + G[..., 1, 2] * gy + G[..., 2, 2] * gz)
+        mv = Gm * val
+
+        def chainT(T2, T1, T0, w):
+            return bwd(bwd(bwd(w, T2, 4), T1, 2), T0, 0)
+
+        r = (ck * (chainT(B2, B1, D0, wx) + chainT(B2, D1, B0, wy)
+                   + chainT(D2, B1, B0, wz))
+             + cm * chainT(B2, B1, B0, mv))
+        return r.reshape(-1)
+
+    raise NotImplementedError("sliding sum factorization supports dim 2 or 3")
 
 
 @functools.partial(jax.jit, static_argnames=("meta",))
@@ -224,6 +336,8 @@ def make_sumfac_operator(spline, ck=1.0, cm=0.0, apply_bcs=True, diag=1.0):
     meta = (data.pop("dim"), tuple(data.pop("ncp_d")))
     data.pop("nel_d")
     data.pop("nq_d")
+    apply_fn = _sumfac_apply_sliding if data.pop("sliding") \
+        else _sumfac_apply
     mask = spline.mask
     ck = jnp.asarray(ck, dtype=spline.dtype)
     cm = jnp.asarray(cm, dtype=spline.dtype)
@@ -231,7 +345,7 @@ def make_sumfac_operator(spline, ck=1.0, cm=0.0, apply_bcs=True, diag=1.0):
 
     def op(W):
         W_in = mask * W if apply_bcs else W
-        out = _sumfac_apply(data, W_in, ck, cm, meta)
+        out = apply_fn(data, W_in, ck, cm, meta)
         if apply_bcs:
             out = mask * out + diag * (1.0 - mask) * W
         return out
@@ -251,13 +365,15 @@ def make_sumfac_identity_operator(basis, quad_degree, mask=None, ck=1.0,
     meta = (data.pop("dim"), tuple(data.pop("ncp_d")))
     data.pop("nel_d")
     data.pop("nq_d")
+    apply_fn = _sumfac_apply_sliding if data.pop("sliding") \
+        else _sumfac_apply
     ck = jnp.asarray(ck, dtype=dtype)
     cm = jnp.asarray(cm, dtype=dtype)
     diag = jnp.asarray(diag, dtype=dtype)
 
     def op(W):
         W_in = mask * W if mask is not None else W
-        out = _sumfac_apply(data, W_in, ck, cm, meta)
+        out = apply_fn(data, W_in, ck, cm, meta)
         if mask is not None:
             out = mask * out + diag * (1.0 - mask) * W
         return out
