@@ -513,7 +513,7 @@ class ExtractedSpline:
 
     # -- norms -----------------------------------------------------------------------
 
-    def errornorm(self, U, exact_fn, rationalize=True, norm="L2"):
+    def errornorm(self, U, exact_fn, rationalize=True):
         """L2 norm of (u - exact) over the domain; ``exact_fn(ctx)`` gives
         the exact value at a quadrature point."""
         def density(ctx, u):

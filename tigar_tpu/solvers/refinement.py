@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from .linear import cg_fixed_iters, jacobi_preconditioner
+from .linear import cg_fixed_iters
 
 
 def refine_solve(action_f64, action_f32, b, tol=1e-12, max_sweeps=40,

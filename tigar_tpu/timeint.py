@@ -11,7 +11,6 @@ unknown under key "u", history under "x_old"/"xdot_old"/"xddot_old".
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 
 def x_alpha(alpha, x, x_old):
