@@ -136,3 +136,31 @@ def test_sumfac_sliding_selected():
     data = build_sumfac_data(sp.fields[0], spline.geometry,
                              spline.quad_degree)
     assert data["sliding"]
+
+
+def test_sumfac_rhs_and_error_match_generic():
+    """Matrix-free RHS assembly and L2 error via sliding chains agree with
+    the generic AD assembler (identity geometry)."""
+    from tigar_tpu.ops.sumfac import sumfac_linear_form, sumfac_l2_error
+    p, nel = 2, 6
+    cm_ = ExplicitBSplineControlMesh(
+        [p, p, p], [uniform_knots(p, 0.0, 1.0, nel)] * 3)
+    sp = EqualOrderSpline(1, cm_)
+    spline = ExtractedSpline(sp, quad_degree=2 * p)
+
+    def f3(x, y, z):
+        return jnp.sin(jnp.pi * x) * jnp.cos(y) * (1.0 + z ** 2)
+
+    b_ref = spline.assemble_vector(
+        lambda ctx, v: f3(ctx.x[0], ctx.x[1], ctx.x[2]) * v.val,
+        apply_bcs=False)
+    b = sumfac_linear_form(cm_.scalar_basis(), 2 * p, f3)
+    assert np.allclose(np.asarray(b), np.asarray(b_ref), atol=1e-13)
+
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(rng.normal(size=spline.ndof) * 0.1)
+    e_ref = float(spline.errornorm(
+        U, lambda ctx: f3(ctx.x[0], ctx.x[1], ctx.x[2]),
+        rationalize=False))
+    e = float(sumfac_l2_error(cm_.scalar_basis(), 2 * p, U, f3))
+    assert np.isclose(e, e_ref, rtol=1e-12)

@@ -58,7 +58,7 @@ def _dir_tables(kv, npts):
     ders = ders.reshape(kv.nel, npts, 2, kv.p + 1)
     starts = (spans - kv.p).astype(np.int32)
     return (jnp.asarray(ders[:, :, 0, :]), jnp.asarray(ders[:, :, 1, :]),
-            jnp.asarray(starts), jnp.asarray(qw))
+            jnp.asarray(starts), jnp.asarray(qw), jnp.asarray(qp))
 
 
 def build_sumfac_data(basis, geom, quad_degree):
@@ -131,6 +131,33 @@ def build_sumfac_data(basis, geom, quad_degree):
     }
 
 
+def _fwd_win(x, T, axis_from_last):
+    """Sliding-window contraction: replace the DoF axis ``axis_from_last``
+    positions before the end with an (element, quad-point) axis pair via
+    p+1 shifted slice multiply-adds (stride-1 windows)."""
+    nel, nq, pp = T.shape
+    ax = x.ndim - 1 - axis_from_last
+    xm = jnp.moveaxis(x, ax, -1)              # [..., n]
+    out = 0.0
+    for a in range(pp):
+        out = out + xm[..., a:a + nel, None] * T[:, :, a]
+    return jnp.moveaxis(out, (-2, -1), (ax, ax + 1))
+
+
+def _bwd_win(w, T, axis_from_last):
+    """Transpose of _fwd_win: the (e, q) axis pair collapses back to the
+    DoF axis via q-contraction + shifted adds."""
+    nel, nq, pp = T.shape
+    ax = w.ndim - 2 - axis_from_last  # position of e-axis
+    wm = jnp.moveaxis(w, (ax, ax + 1), (-2, -1))  # [..., e, q]
+    n_out = nel + pp - 1
+    out = jnp.zeros(wm.shape[:-2] + (n_out,), dtype=w.dtype)
+    for a in range(pp):
+        y = jnp.sum(wm * T[:, :, a], axis=-1)
+        out = out.at[..., a:a + nel].add(y)
+    return jnp.moveaxis(out, -1, ax)
+
+
 @functools.partial(jax.jit, static_argnames=("meta",))
 def _sumfac_apply_sliding(data, W, ck, cm, meta):
     """Sliding-window formulation for maximal-continuity (C^{p-1}) open
@@ -145,40 +172,13 @@ def _sumfac_apply_sliding(data, W, ck, cm, meta):
     G = data["G"]
     Gm = data["Gm"]
     Ug = W.reshape(tuple(ncp_d[::-1]))
-
-    def fwd(x, T, axis_from_last):
-        """Contract the axis ``axis_from_last`` positions before the end
-        (0 = last) with sliding windows; the contracted axis is replaced by
-        two axes (e, q) in place."""
-        nel, nq, pp = T.shape
-        ax = x.ndim - 1 - axis_from_last
-        xm = jnp.moveaxis(x, ax, -1)              # [..., n]
-        out = 0.0
-        for a in range(pp):
-            out = out + xm[..., a:a + nel, None] * T[:, :, a]
-        # out: [..., e, q]; move both back to position ax
-        out = jnp.moveaxis(out, (-2, -1), (ax, ax + 1))
-        return out
-
-    def bwd(w, T, axis_from_last):
-        """Transpose of fwd: (e, q) axis pair at position ax collapses back
-        to the DoF axis via q-contraction + shifted adds."""
-        nel, nq, pp = T.shape
-        ax = w.ndim - 2 - axis_from_last  # position of e-axis
-        wm = jnp.moveaxis(w, (ax, ax + 1), (-2, -1))  # [..., e, q]
-        n_out = nel + pp - 1
-        out = jnp.zeros(wm.shape[:-2] + (n_out,), dtype=w.dtype)
-        for a in range(pp):
-            # y_a[..., e] = sum_q T[e, q, a] w[..., e, q]
-            y = jnp.sum(wm * T[:, :, a], axis=-1)
-            out = out.at[..., a:a + nel].add(y)
-        return jnp.moveaxis(out, -1, ax)
+    fwd, bwd = _fwd_win, _bwd_win
 
     # forward: innermost (dir 0) first; axis offsets account for the new
     # q axes appended next to each element axis
     if dim == 2:
-        B0, D0, _, _ = tables[0]
-        B1, D1, _, _ = tables[1]
+        B0, D0 = tables[0][0], tables[0][1]
+        B1, D1 = tables[1][0], tables[1][1]
         # [n1, n0] -> [n1, e0, q0] -> [e1, q1, e0, q0]
         val = fwd(fwd(Ug, B0, 0), B1, 2)
         gx = fwd(fwd(Ug, D0, 0), B1, 2)
@@ -195,9 +195,9 @@ def _sumfac_apply_sliding(data, W, ck, cm, meta):
         return r.reshape(-1)
 
     if dim == 3:
-        B0, D0, _, _ = tables[0]
-        B1, D1, _, _ = tables[1]
-        B2, D2, _, _ = tables[2]
+        B0, D0 = tables[0][0], tables[0][1]
+        B1, D1 = tables[1][0], tables[1][1]
+        B2, D2 = tables[2][0], tables[2][1]
 
         def chain(T2, T1, T0):
             return fwd(fwd(fwd(Ug, T0, 0), T1, 2), T2, 4)
@@ -237,8 +237,8 @@ def _sumfac_apply(data, W, ck, cm, meta):
     Ug = W.reshape(tuple(ncp_d[::-1]))
 
     if dim == 2:
-        B0, D0, s0, _ = tables[0]
-        B1, D1, s1, _ = tables[1]
+        B0, D0, s0 = tables[0][0], tables[0][1], tables[0][2]
+        B1, D1, s1 = tables[1][0], tables[1][1], tables[1][2]
         p0 = B0.shape[2]
         p1 = B1.shape[2]
         i0 = s0[:, None] + jnp.arange(p0)[None, :]   # [e0, a0]
@@ -274,9 +274,9 @@ def _sumfac_apply(data, W, ck, cm, meta):
         return out.reshape(-1)
 
     if dim == 3:
-        B0, D0, s0, _ = tables[0]
-        B1, D1, s1, _ = tables[1]
-        B2, D2, s2, _ = tables[2]
+        B0, D0, s0 = tables[0][0], tables[0][1], tables[0][2]
+        B1, D1, s1 = tables[1][0], tables[1][1], tables[1][2]
+        B2, D2, s2 = tables[2][0], tables[2][1], tables[2][2]
         p0, p1, p2 = B0.shape[2], B1.shape[2], B2.shape[2]
         i0 = s0[:, None] + jnp.arange(p0)[None, :]
         i1 = s1[:, None] + jnp.arange(p1)[None, :]
@@ -367,6 +367,11 @@ def make_sumfac_identity_operator(basis, quad_degree, mask=None, ck=1.0,
     data.pop("nq_d")
     apply_fn = _sumfac_apply_sliding if data.pop("sliding") \
         else _sumfac_apply
+    # compute in the requested dtype (e.g. float32 fast path for
+    # mixed-precision refinement)
+    data = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, data)
     ck = jnp.asarray(ck, dtype=dtype)
     cm = jnp.asarray(cm, dtype=dtype)
     diag = jnp.asarray(diag, dtype=dtype)
@@ -379,3 +384,65 @@ def make_sumfac_identity_operator(basis, quad_degree, mask=None, ck=1.0,
         return out
 
     return op
+
+
+def _sliding_quad_coords(data, dim):
+    """Physical (= parametric, identity geometry) coordinates at quadrature
+    points in the interleaved (e_{D-1}, q_{D-1}, ..., e_0, q_0) layout:
+    list of broadcastable coordinate tensors per direction."""
+    coords = []
+    for d in range(dim):
+        qp = data["tables"][d][4]  # [nel_d, nq_d]
+        # axis positions of (e_d, q_d) in the interleaved layout
+        pos = 2 * (dim - 1 - d)
+        shape = [1] * (2 * dim)
+        shape[pos] = qp.shape[0]
+        shape[pos + 1] = qp.shape[1]
+        coords.append(qp.reshape(shape))
+    return coords
+
+
+def sumfac_linear_form(basis, quad_degree, fn, dtype=None):
+    """Assemble b_i = integral fn(x) N_i dx on identity geometry without any
+    dense tabulation: evaluate fn on the quadrature grid, weight, and apply
+    the transposed sliding chains.  ``fn`` maps a tuple of coordinate
+    arrays (broadcastable) to values."""
+    from ..config import real_dtype
+    dtype = real_dtype() if dtype is None else dtype
+    data = build_sumfac_data(basis, None, quad_degree)
+    if not data["sliding"]:
+        raise NotImplementedError("sumfac_linear_form requires "
+                                  "maximal-continuity open knots")
+    dim = data["dim"]
+    coords = _sliding_quad_coords(data, dim)
+    F = jnp.broadcast_to(fn(*coords), data["Gm"].shape).astype(dtype)
+    w = data["Gm"].astype(dtype) * F
+    tables = data["tables"]
+    if dim == 2:
+        b = _bwd_win(_bwd_win(w, tables[1][0], 2), tables[0][0], 0)
+    elif dim == 3:
+        b = _bwd_win(_bwd_win(_bwd_win(w, tables[2][0], 4),
+                              tables[1][0], 2), tables[0][0], 0)
+    else:
+        raise NotImplementedError
+    return b.reshape(-1)
+
+
+def sumfac_l2_error(basis, quad_degree, U, exact_fn):
+    """L2 norm of (u_h - exact) on identity geometry via sliding chains."""
+    data = build_sumfac_data(basis, None, quad_degree)
+    if not data["sliding"]:
+        raise NotImplementedError
+    dim = data["dim"]
+    tables = data["tables"]
+    Ug = jnp.asarray(U).reshape(tuple(kv.ncp for kv in basis.kvs)[::-1])
+    if dim == 2:
+        val = _fwd_win(_fwd_win(Ug, tables[0][0], 0), tables[1][0], 2)
+    elif dim == 3:
+        val = _fwd_win(_fwd_win(_fwd_win(Ug, tables[0][0], 0),
+                                tables[1][0], 2), tables[2][0], 4)
+    else:
+        raise NotImplementedError
+    coords = _sliding_quad_coords(data, dim)
+    e = val - exact_fn(*coords)
+    return jnp.sqrt(jnp.sum(data["Gm"] * e * e))

@@ -23,7 +23,12 @@ def refine_solve(action_f64, action_f32, b, tol=1e-12, max_sweeps=40,
     action_f64 : W -> A @ W in float64 (accurate residual path)
     action_f32 : W -> A @ W in float32 (fast path; same operator)
     tol        : relative residual target in f64
-    inner_iters: fixed CG iterations per sweep (f32)
+    inner_iters: fixed CG iterations per sweep (f32).  Keep this NEAR THE
+                 f32 STAGNATION POINT of the problem: once f32 CG
+                 stagnates, further iterations degrade the iterate and the
+                 outer refinement crawls (measured on a 941k-DoF Poisson:
+                 50 inner iterations -> 3 sweeps to 5e-13; 150 inner
+                 iterations -> 60 sweeps to only 5e-10).
     M_f32      : optional f32 preconditioner for the inner CG
 
     Returns (x, n_sweeps, rel_residual).
