@@ -40,6 +40,12 @@ from .calculus import (CurvilinearTensor, curvilinear_inner,  # noqa: F401
                        curvilinear_div, spline_GRAD, spline_DIV)
 from .contact import PointContact  # noqa: F401
 from .io import (write_extraction, read_extraction, write_vtk,  # noqa: F401
-                 write_pvd)
+                 write_pvd, save_state, load_state)
+from .ops.sumfac import (make_sumfac_operator,  # noqa: F401
+                         make_sumfac_identity_operator,
+                         sumfac_linear_form, sumfac_l2_error)
+from .solvers.refinement import refine_solve  # noqa: F401
+from .solvers.eigen import (generalized_eigh, smallest_modes,  # noqa: F401
+                            lobpcg_smallest)
 
 __version__ = "0.1.0"
