@@ -99,3 +99,70 @@ def test_grad_flat_geometry():
     G = spline_GRAD(ctx, u)
     assert np.allclose(np.asarray(G.T), np.asarray(u.g), atol=1e-12)
     assert G.lowered == [True, False]
+
+
+def extruded_annulus_ctx():
+    """Curved trivariate rational geometry for 3D pushforward checks."""
+    from tigar_tpu.models.nurbs import quarter_annulus_control
+    degrees2, kvecs2, ctrl2 = quarter_annulus_control()
+    degrees = degrees2 + [1]
+    kvecs = kvecs2 + [np.asarray([0.0, 0.0, 1.0, 1.0])]
+    ctrl = np.zeros((3, 3, 2, 4))
+    for k, z in enumerate([0.0, 1.0]):
+        ctrl[:, :, k, 0] = ctrl2[:, :, 0]
+        ctrl[:, :, k, 1] = ctrl2[:, :, 1]
+        ctrl[:, :, k, 2] = z * ctrl2[:, :, 2]
+        ctrl[:, :, k, 3] = ctrl2[:, :, 2]
+    cm = NURBSControlMesh(degrees, kvecs, ctrl)
+    sp = EqualOrderSpline(1, cm)
+    spline = ExtractedSpline(sp, quad_degree=4, nders=2)
+    return spline.geometry
+
+
+def test_pushforward_N_gradient_curl_free():
+    """The covariant (N-type) pushforward maps parametric gradients to
+    physical gradients, so pushing forward the jet of a parametric gradient
+    field must give a curl-free physical field -- this validates the
+    pushforward's gradient formula (incl. the d(DF^{-T}) term) on curved
+    rational geometry."""
+    geom = extruded_annulus_ctx()
+    rng = np.random.default_rng(3)
+    nel, nq = geom.sqrtJ.shape
+    # jets of grad(phi) for a synthetic scalar phi: value = random gradient,
+    # parametric derivative = SYMMETRIC random Hessian
+    gval = jnp.asarray(rng.normal(size=(nel, nq, 3)))
+    H = rng.normal(size=(nel, nq, 3, 3))
+    gjac = jnp.asarray(0.5 * (H + np.swapaxes(H, -1, -2)))
+
+    def check(ctx, v, J):
+        u = Jet(v, J, None)
+        pf = ctx.pushforward_N(u)
+        G = pf.grad
+        curl = jnp.stack([G[2, 1] - G[1, 2],
+                          G[0, 2] - G[2, 0],
+                          G[1, 0] - G[0, 1]])
+        return jnp.max(jnp.abs(curl)) / (1.0 + jnp.max(jnp.abs(G)))
+
+    import jax
+    m = jax.vmap(jax.vmap(check))(geom, gval, gjac)
+    assert float(jnp.max(m)) < 1e-11
+
+
+def test_pushforward_RT_divergence_consistency():
+    """Piola-exact divergence (trace(u.g)/sqrtJ) equals the trace of the
+    pushforward's full gradient formula on curved codim-0 geometry -- two
+    independent code paths."""
+    geom = extruded_annulus_ctx()
+    rng = np.random.default_rng(4)
+    nel, nq = geom.sqrtJ.shape
+    uval = jnp.asarray(rng.normal(size=(nel, nq, 3)))
+    ug = jnp.asarray(rng.normal(size=(nel, nq, 3, 3)))
+
+    def check(ctx, v, g):
+        u = Jet(v, g, None)
+        pf = ctx.pushforward_RT(u)
+        return (jnp.trace(pf.grad) - pf.div_exact) / (1.0 + jnp.abs(pf.div_exact))
+
+    import jax
+    m = jax.vmap(jax.vmap(check))(geom, uval, ug)
+    assert float(jnp.max(jnp.abs(m))) < 1e-11
