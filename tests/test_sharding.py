@@ -79,3 +79,24 @@ def test_sharded_dense_matrix():
     shard_spline(spline_sh, mesh)
     A_sh = np.asarray(spline_sh.assemble_matrix(a_form))
     assert np.allclose(A_sh, A_ref, atol=1e-12)
+
+
+def test_sharded_sumfac_operator():
+    """Sum-factorized operator under GSPMD: sharded DoF input produces
+    identical results (XLA inserts the halo communication for the shifted
+    slide windows automatically)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tigar_tpu.models.bspline import TensorBSplineBasis
+    from tigar_tpu.ops.sumfac import make_sumfac_identity_operator
+    from tigar_tpu.parallel.sharding import make_device_mesh, ELEMENT_AXIS
+
+    p, nel = 2, 12
+    basis = TensorBSplineBasis(
+        [p] * 3, [uniform_knots(p, 0.0, 1.0, nel)] * 3)
+    op = make_sumfac_identity_operator(basis, 2 * p, ck=1.0, cm=0.3)
+    W = jnp.asarray(np.random.default_rng(0).normal(size=basis.ncp))
+    ref = np.asarray(op(W))
+    mesh = make_device_mesh(8)
+    Ws = jax.device_put(W, NamedSharding(mesh, P(ELEMENT_AXIS)))
+    out = np.asarray(op(Ws))
+    assert np.allclose(out, ref, atol=1e-13)
