@@ -103,3 +103,40 @@ def test_load_stepper():
     assert np.isclose(ls.t, 0.25)
     ls.advance()
     assert np.isclose(ls.t, 0.5)
+
+
+def test_same_velocity_predictor():
+    """Predictor formula (timeIntegration.py:210-224): for the exact linear
+    oscillator state it should approximate x(t+dt) to O(dt^2)."""
+    import math
+    dt = 0.01
+    # x = cos(t) at t=0: x=1, xdot=0, xddot=-1
+    gi = GeneralizedAlphaIntegrator(0.5, dt, jnp.asarray([1.0]),
+                                    (jnp.asarray([1.0]), jnp.asarray([0.0]),
+                                     jnp.asarray([-1.0])))
+    pred = float(gi.same_velocity_predictor()[0])
+    # Newmark-weighted second-order predictor: error is O(dt^2) with a
+    # rho_inf-dependent constant
+    assert abs(pred - math.cos(dt)) < 2.0 * dt ** 2
+    # first-order systems: predictor is x_old
+    gi1 = GeneralizedAlphaIntegrator(0.5, dt, jnp.asarray([2.0]),
+                                     (jnp.asarray([3.0]), jnp.asarray([0.0])))
+    assert float(gi1.same_velocity_predictor()[0]) == 3.0
+
+
+def test_backward_euler_second_order_system():
+    """xddot = -x with backward Euler: stable, damped oscillation."""
+    dt = 0.05
+    be = BackwardEulerIntegrator(dt, jnp.asarray([1.0]),
+                                 (jnp.asarray([1.0]), jnp.asarray([0.0])))
+    for _ in range(100):
+        # residual(x) = xddot(x) + x = 0, linear
+        s = lambda u: {"u": u, "x_old": be.x_old, "xdot_old": be.xdot_old}
+        r0 = be.xddot_of(s(jnp.zeros(1))) + 0.0
+        r1 = be.xddot_of(s(jnp.ones(1))) + 1.0
+        be.x = -r0 / (r1 - r0)
+        be.advance()
+    x = float(be.x_old[0])
+    # numerically damped but bounded
+    assert abs(x) < 1.0
+    assert np.isfinite(x)
