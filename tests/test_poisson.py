@@ -104,3 +104,45 @@ def test_poisson_nonlinear_solver_on_linear_problem():
     U = spline.solve_nonlinear_variational_problem(res)
     err = spline.errornorm(U, lambda ctx: soln(ctx.x), rationalize=False)
     assert float(err) < 2e-3
+
+
+def test_poisson_graded_nonuniform_knots():
+    """Geometrically graded (non-uniform) knot vectors: exercises
+    element-size weighting in tabulation/quadrature; the solution on a
+    boundary-layer-like problem still converges."""
+    import numpy as np
+
+    def graded_knots(p, nel, ratio=3.0):
+        # element sizes in geometric progression
+        sizes = ratio ** np.linspace(0.0, 1.0, nel)
+        breaks = np.concatenate([[0.0], np.cumsum(sizes)])
+        breaks /= breaks[-1]
+        return np.concatenate([np.zeros(p), breaks, np.ones(p)])
+
+    def soln(x):
+        return jnp.sin(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1])
+
+    def a(ctx, u, v):
+        return jnp.sum(ctx.grad(u) * ctx.grad(v))
+
+    def L(ctx, v):
+        return 2.0 * jnp.pi ** 2 * soln(ctx.x) * v.val
+
+    p = 2
+    errs = []
+    for nel in (8, 16, 32):
+        kv = graded_knots(p, nel)
+        cm = ExplicitBSplineControlMesh([p, p], [kv, kv])
+        sp = EqualOrderSpline(1, cm)
+        basis = sp.get_scalar_spline()
+        for d in (0, 1):
+            for s in (0, 1):
+                sp.add_zero_dofs(0, basis.side_dofs(d, s))
+        spline = ExtractedSpline(sp, quad_degree=2 * p)
+        U = spline.solve_linear_variational_problem(a, rhs_form=L)
+        errs.append(float(spline.errornorm(U, lambda ctx: soln(ctx.x),
+                                           rationalize=False)))
+    rates = [math.log(errs[i - 1] / errs[i]) / math.log(2.0)
+             for i in range(1, len(errs))]
+    for r in rates:
+        assert r > p + 1 - 0.35, (errs, rates)
