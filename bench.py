@@ -32,6 +32,7 @@ def log(*a):
 
 
 def main():
+    T_START = time.time()
     import jax
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
@@ -111,7 +112,7 @@ def main():
             (U,), (W_in,))[1]
         return mask_ * out + (1.0 - mask_) * W
 
-    N_CG = int(os.environ.get("BENCH_CG_ITERS", "100"))
+    N_CG = int(os.environ.get("BENCH_CG_ITERS", "50"))
 
     def newton_step(asm_, mask_, U):
         """Residual + N_CG conjugate-gradient iterations + update.  The CG
@@ -150,21 +151,47 @@ def main():
     log(f"residual assembly: {dt_assembly * 1e3:.3f} ms "
         f"({dof_per_s:.3e} DoF/s, dtype={spline.dtype})")
 
-    # ---- Newton-step solve wall-clock -----------------------------------------
-    t0 = time.time()
-    U1, rnorm = newton_step(asm, mask, U)
-    U1.block_until_ready()
-    log(f"newton step compile+first run: {time.time() - t0:.1f}s")
-    n_solve = max(1, n_rep // 10)
-    t0 = time.time()
-    for _ in range(n_solve):
+    # ---- f32 shell residual (mixed-precision production path) -----------------
+    dt_asm32 = None
+    deadline = float(os.environ.get("BENCH_DEADLINE", "330"))
+    if time.time() - T_START < deadline:
+        import jax.tree_util as jtu
+        asm32 = jtu.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, asm)
+        mask32 = mask.astype(jnp.float32)
+        U32 = U.astype(jnp.float32)
+        r = residual(asm32, mask32, U32)
+        r.block_until_ready()
+        t0 = time.time()
+        for _ in range(n_rep):
+            r = residual(asm32, mask32, U32)
+        r.block_until_ready()
+        dt_asm32 = (time.time() - t0) / n_rep
+        log(f"residual assembly f32: {dt_asm32 * 1e3:.3f} ms "
+            f"({spline.ndof / dt_asm32:.3e} DoF/s)")
+
+    # ---- Newton-step solve wall-clock (skipped if near the deadline: its
+    # tangent-action compile is the most expensive through the remote
+    # compiler and must never cost us the headline metric) ---------------------
+    dt_solve = None
+    rnorm = None
+    if time.time() - T_START < deadline:
+        t0 = time.time()
         U1, rnorm = newton_step(asm, mask, U)
-    U1.block_until_ready()
-    dt_solve = (time.time() - t0) / n_solve
-    log(f"newton step (assemble + {N_CG} CG iterations): "
-        f"{dt_solve * 1e3:.1f} ms; |r|={float(rnorm):.3e}")
-    assert np.isfinite(float(rnorm))
-    assert np.all(np.isfinite(np.asarray(U1)))
+        U1.block_until_ready()
+        log(f"newton step compile+first run: {time.time() - t0:.1f}s")
+        n_solve = 2
+        t0 = time.time()
+        for _ in range(n_solve):
+            U1, rnorm = newton_step(asm, mask, U)
+        U1.block_until_ready()
+        dt_solve = (time.time() - t0) / n_solve
+        log(f"newton step (assemble + {N_CG} CG iterations): "
+            f"{dt_solve * 1e3:.1f} ms; |r|={float(rnorm):.3e}")
+        assert np.isfinite(float(rnorm))
+        assert np.all(np.isfinite(np.asarray(U1)))
 
     print(json.dumps({
         "metric": "kl_shell_assembled_dof_per_s",
@@ -176,7 +203,10 @@ def main():
             "nel": int(asm.nel),
             "dtype": str(spline.dtype),
             "residual_assembly_ms": dt_assembly * 1e3,
-            "newton_step_solve_ms": dt_solve * 1e3,
+            "newton_step_solve_ms":
+                None if dt_solve is None else dt_solve * 1e3,
+            "residual_assembly_f32_dof_per_s":
+                None if dt_asm32 is None else spline.ndof / dt_asm32,
             "poisson_fastpath_apply_dof_per_s": spl2.ndof / dt_fast,
             "device": str(jax.devices()[0]),
         },
