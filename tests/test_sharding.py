@@ -100,3 +100,38 @@ def test_sharded_sumfac_operator():
     Ws = jax.device_put(W, NamedSharding(mesh, P(ELEMENT_AXIS)))
     out = np.asarray(op(Ws))
     assert np.allclose(out, ref, atol=1e-13)
+
+
+def test_sharded_shell_residual():
+    """The flagship KL-shell residual (nested-AD energy variation) under
+    element sharding matches single-device assembly."""
+    from tigar_tpu.models.shell import svk_psi_surface
+    from tigar_tpu.forms import deriv
+
+    def make_shell():
+        cm = ExplicitBSplineControlMesh(
+            [2, 2], [uniform_knots(2, -1.0, 1.0, 5)] * 2, extra_dim=1)
+        sp = EqualOrderSpline(3, cm)
+        basis = cm.scalar_basis()
+        for side in (0, 1):
+            for direction in (0, 1):
+                dofs = basis.side_dofs(direction, side, n_layers=2)
+                for i in range(3):
+                    sp.add_zero_dofs(i, dofs)
+        return ExtractedSpline(sp, quad_degree=4, nders=2)
+
+    def res(ctx, u, v):
+        dWint = deriv(lambda y: svk_psi_surface(ctx, y, 1e6, 0.3, 0.05),
+                      u, v)
+        return dWint - 0.1 * v.val[2]
+
+    spline_ref = make_shell()
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(rng.normal(size=spline_ref.ndof) * 1e-3)
+    r_ref = np.asarray(spline_ref.assemble_vector(res, U=U))
+
+    spline_sh = make_shell()
+    mesh = make_device_mesh(8)
+    shard_spline(spline_sh, mesh)
+    r_sh = np.asarray(spline_sh.assemble_vector(res, U=replicate(U, mesh)))
+    assert np.allclose(r_sh, r_ref, atol=1e-12)

@@ -35,14 +35,18 @@ def make_device_mesh(n_devices=None, devices=None):
 
 
 def _pad_elements(x, nel, nel_padded):
-    """Pad the leading (element) axis so it divides the mesh size.  Padded
-    elements get zero quadrature scale, so they contribute nothing."""
+    """Pad the leading (element) axis so it divides the mesh size by
+    REPLICATING the last element (edge mode): padded elements must carry
+    valid geometry (zero-filled geometry produces NaNs through densities
+    with normalizations, and 0 * NaN = NaN survives the zero quadrature
+    scale), while their contributions are annihilated exactly by the
+    zeroed scale."""
     import numpy as np_
     pad = nel_padded - nel
     if pad == 0:
         return x
     widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
-    return np_.asarray(np_.pad(np_.asarray(x), widths))
+    return np_.asarray(np_.pad(np_.asarray(x), widths, mode="edge"))
 
 
 def shard_assembler(asm, mesh):
