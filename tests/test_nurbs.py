@@ -208,3 +208,37 @@ def test_trivariate_nurbs_volume():
     spline = ExtractedSpline(sp, quad_degree=12)
     vol = float(spline.assemble_functional(lambda ctx: 1.0))
     assert np.isclose(vol, 0.75 * np.pi * H, rtol=1e-9)
+
+
+def test_rational_hessian_chain_on_curved_geometry():
+    """Linear polynomials are exactly representable in the isoparametric
+    rational space; after L2 projection, the rationalized jet's physical
+    gradient must be the exact constant and its physical Hessian exactly
+    zero at every quadrature point -- validating the full rational
+    quotient rule + second-derivative chain rule through d2F."""
+    import jax as _jax
+    degrees, kvecs, ctrl = quarter_annulus_control()
+    kvecs, ctrl = uniform_refine(degrees, kvecs, ctrl, levels=1)
+    cm = NURBSControlMesh(degrees, kvecs, ctrl)
+    sp = EqualOrderSpline(1, cm)
+    spline = ExtractedSpline(sp, quad_degree=8, nders=2)
+
+    def f(x):
+        return 3.0 * x[0] - 2.0 * x[1] + 0.5
+
+    U = spline.project(lambda ctx: f(ctx.x), rationalize=True)
+    asm = spline._assembler("dx")
+    uj = asm.jets(U)
+
+    def check(ctx, u):
+        uu = ctx.rationalize(u)
+        g = ctx.grad(uu)
+        H = ctx.hess(uu)
+        lap = ctx.lap(uu)
+        return (jnp.max(jnp.abs(g - jnp.asarray([3.0, -2.0]))),
+                jnp.max(jnp.abs(H)), jnp.abs(lap))
+
+    eg, eh, el = _jax.vmap(_jax.vmap(check))(asm.ctx, uj)
+    assert float(jnp.max(eg)) < 1e-10
+    assert float(jnp.max(eh)) < 1e-8
+    assert float(jnp.max(el)) < 1e-8
