@@ -37,6 +37,10 @@ def refine_solve(action_f64, action_f32, b, tol=1e-12, max_sweeps=40,
     x = jnp.zeros_like(b) if x0 is None else x0
     bnorm = jnp.linalg.norm(b)
     rel = 1.0
+    # NOTE: cg_fixed_iters is deliberately called eagerly -- its fori_loop
+    # compiles once and the inner operator stays a cached XLA call.
+    # Wrapping the sweep in an outer jax.jit was measured to inflate the
+    # TPU compile ~30x (jit-of-jit inlining) for identical runtime.
     for sweep in range(max_sweeps):
         r = b - action_f64(x)
         rel = float(jnp.linalg.norm(r) / bnorm)
