@@ -120,3 +120,27 @@ def test_state_checkpoint_roundtrip(tmp_path):
     st = load_state(str(tmp_path / "ckpt.npz"))
     assert np.allclose(st["u"], np.arange(10.0))
     assert int(st["step"]) == 7
+
+
+def test_vtk_1d_and_3d_cells(tmp_path):
+    """VTK output for line (1D) and hexahedral (3D) samplings."""
+    p = 2
+    cm1 = ExplicitBSplineControlMesh([p], [uniform_knots(p, 0.0, 1.0, 4)])
+    sp1 = EqualOrderSpline(1, cm1)
+    spl1 = ExtractedSpline(sp1, quad_degree=2 * p)
+    U1 = jnp.asarray(np.linspace(0, 1, spl1.ndof))
+    import jax.numpy as jnp_
+    fn1 = str(tmp_path / "u1.vtk")
+    write_vtk(fn1, spl1, fields={"u": U1}, resolution=2)
+    txt = open(fn1).read()
+    assert "CELL_TYPES" in txt and "\n3\n" in txt  # VTK_LINE
+
+    cm3 = ExplicitBSplineControlMesh(
+        [p, p, p], [uniform_knots(p, 0.0, 1.0, 2)] * 3)
+    sp3 = EqualOrderSpline(1, cm3)
+    spl3 = ExtractedSpline(sp3, quad_degree=2 * p)
+    U3 = jnp.zeros(spl3.ndof)
+    fn3 = str(tmp_path / "u3.vtk")
+    write_vtk(fn3, spl3, fields={"u": U3}, resolution=1)
+    txt = open(fn3).read()
+    assert "12\n" in txt  # VTK_HEXAHEDRON
