@@ -146,3 +146,39 @@ def test_poisson_graded_nonuniform_knots():
              for i in range(1, len(errs))]
     for r in rates:
         assert r > p + 1 - 0.35, (errs, rates)
+
+
+def test_sparse_assembled_matrix():
+    """BCOO sparse assembly matches the dense matrix and solves Poisson
+    through repeated sparse matvecs."""
+    from tigar_tpu.solvers.linear import solve_krylov, jacobi_preconditioner
+    p, nel = 2, 10
+    cm = ExplicitBSplineControlMesh(
+        [p, p], [uniform_knots(p, 0.0, 1.0, nel)] * 2)
+    sp = EqualOrderSpline(1, cm)
+    basis = sp.get_scalar_spline()
+    for d in (0, 1):
+        for s in (0, 1):
+            sp.add_zero_dofs(0, basis.side_dofs(d, s))
+    spline = ExtractedSpline(sp, quad_degree=2 * p)
+
+    def a(ctx, u, v):
+        return jnp.sum(ctx.grad(u) * ctx.grad(v))
+
+    A_dense = np.asarray(spline.assemble_matrix(a))
+    M = spline.assemble_sparse(a)
+    assert np.allclose(np.asarray(M.todense()), A_dense, atol=1e-12)
+
+    def soln(x):
+        return jnp.sin(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1])
+
+    def L(ctx, v):
+        return 2.0 * jnp.pi ** 2 * soln(ctx.x) * v.val
+
+    b = spline.assemble_vector(L)
+    diag = spline.assemble_diagonal(a)
+    U = solve_krylov(lambda w: M @ w, b, method="cg", tol=1e-12,
+                     M=jacobi_preconditioner(diag))
+    err = float(spline.errornorm(U, lambda ctx: soln(ctx.x),
+                                 rationalize=False))
+    assert err < 5e-4

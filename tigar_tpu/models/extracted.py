@@ -318,6 +318,44 @@ class ExtractedSpline:
         return self._jitted(key, terms, builder)(
             asms, U, self.mask, jnp.asarray(diag, dtype=self.dtype), params)
 
+    def assemble_sparse(self, form, U=None, apply_bcs=True, diag=1.0,
+                        params=None):
+        """Assembled sparse (BCOO) tangent/bilinear matrix: the explicit
+        IGA operator without the dense ndof^2 memory, for repeated cheap
+        matvecs and large eigenproblems (reference analog: the PETSc AIJ
+        matrix produced by MatPtAP, common.py:1176-1204).  Returns a
+        jax.experimental.sparse.BCOO; BC zeroRowsColumns semantics are
+        applied by masking element matrices and adding the diagonal."""
+        from ..ops.assembly import scatter_bcoo
+        from jax.experimental import sparse as jsparse
+        if U is None:
+            U = jnp.zeros(self.ndof, dtype=self.dtype)
+        _, terms = self._form_key(form)
+        M = None
+        for domain, density in terms:
+            asm = self._assembler(domain)
+            if isinstance(U, dict):
+                aux = {k: asm.jets(jnp.asarray(v)) for k, v in U.items()
+                       if k != "u"}
+                A_e = asm.element_matrices(density, jnp.asarray(U["u"]),
+                                           aux_jets=aux, params=params)
+            else:
+                A_e = asm.element_matrices(density, jnp.asarray(U),
+                                           params=params)
+            if apply_bcs:
+                me = self.mask[asm.cat_conn]  # [nel, nloc]
+                A_e = A_e * me[:, :, None] * me[:, None, :]
+            part = scatter_bcoo(asm, A_e)
+            M = part if M is None else (M + part).sum_duplicates(
+                nse=M.nse + part.nse)
+        if apply_bcs:
+            idx = jnp.arange(self.ndof, dtype=jnp.int32)
+            bc_diag = jsparse.BCOO(
+                (diag * (1.0 - self.mask), jnp.stack([idx, idx], axis=1)),
+                shape=(self.ndof, self.ndof))
+            M = (M + bc_diag).sum_duplicates(nse=M.nse + self.ndof)
+        return M
+
     def assemble_diagonal(self, form, U=None, apply_bcs=True, diag=1.0,
                           params=None):
         """Diagonal of the tangent (Jacobi preconditioner)."""

@@ -268,3 +268,24 @@ def bc_operator(action, mask, diag=1.0):
     def op(w):
         return mask * action(mask * w) + diag * (1.0 - mask) * w
     return op
+
+
+def scatter_bcoo(asm, A_e, ndof=None):
+    """Assemble element matrices into a jax.experimental.sparse BCOO matrix
+    (duplicates summed) -- the explicit-operator path for problems too large
+    for dense assembly but needing an assembled matrix (cheap repeated
+    matvecs, eigenproblems, preconditioner construction).  This replaces
+    the reference's PETSc MPIAIJ + MatPtAP product (SURVEY.md section 7,
+    hard part 4)."""
+    from jax.experimental import sparse as jsparse
+    import jax.numpy as jnp_
+
+    ndof = asm.ndof if ndof is None else ndof
+    nel, nloc, _ = A_e.shape
+    rows = jnp_.broadcast_to(asm.cat_conn[:, :, None],
+                             (nel, nloc, nloc)).reshape(-1)
+    cols = jnp_.broadcast_to(asm.cat_conn[:, None, :],
+                             (nel, nloc, nloc)).reshape(-1)
+    idx = jnp_.stack([rows, cols], axis=1).astype(jnp_.int32)
+    M = jsparse.BCOO((A_e.reshape(-1), idx), shape=(ndof, ndof))
+    return M.sum_duplicates(nse=nel * nloc * nloc)
