@@ -72,6 +72,18 @@ class DomainAssembler:
     def nq(self):
         return self.scale.shape[1]
 
+    def astype(self, dtype):
+        """Copy with all floating arrays cast to ``dtype`` -- the
+        mixed-precision fast path (pair with solvers.refinement to recover
+        f64 accuracy)."""
+        import jax.tree_util as jtu
+        children, aux = self.tree_flatten()
+        children = jtu.tree_map(
+            lambda x: x.astype(dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, children)
+        return type(self).tree_unflatten(aux, children)
+
     # -- pytree protocol ---------------------------------------------------------
 
     def tree_flatten(self):
