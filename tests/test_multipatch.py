@@ -124,3 +124,61 @@ def test_legacy_multipatch_reader(tmp_path):
     area = float(spline.assemble_functional(lambda ctx: 1.0))
     # two exact quarter annuli (r in [1,2]): 2 * (3 pi / 4)
     assert np.isclose(area, 1.5 * np.pi, rtol=1e-10)
+
+
+def test_two_patch_rational_poisson():
+    """Multipatch + rational weights combined: two quarter-annulus NURBS
+    patches forming a half annulus, manufactured solution vanishing on all
+    patch boundaries (incl. the interface), optimal rate 3."""
+    import jax
+    import jax.numpy as jnp
+    from tigar_tpu.models.nurbs import quarter_annulus_control
+    from tigar_tpu.ops.refine import uniform_refine
+    from tigar_tpu.models.multipatch import (MultiPatchBSplineBasis,
+                                             MultiPatchControlMesh)
+
+    def soln(x):
+        r2 = x[0] ** 2 + x[1] ** 2
+        return (r2 - 1.0) * (r2 - 4.0) * x[0] * x[1]
+
+    def f_rhs(x):
+        return -jnp.trace(jax.hessian(soln)(x))
+
+    errs = []
+    for levels in (1, 2, 3):
+        degrees, kvecs0, ctrl0 = quarter_annulus_control()
+        kvecs, ctrl1 = uniform_refine(degrees, kvecs0, ctrl0, levels=levels)
+        # second patch: rotate control net by 90 degrees, (x,y)->(-y,x)
+        ctrl2 = ctrl1.copy()
+        ctrl2[..., 0], ctrl2[..., 1] = -ctrl1[..., 1].copy(), \
+            ctrl1[..., 0].copy()
+        patches = [TensorBSplineBasis(degrees, [k.copy() for k in kvecs])
+                   for _ in range(2)]
+        basis = MultiPatchBSplineBasis(patches)
+        cm = MultiPatchControlMesh(basis, [ctrl1, ctrl2])
+        sp = EqualOrderSpline(1, cm)
+        for patch in (0, 1):
+            for d in (0, 1):
+                for s in (0, 1):
+                    sp.add_zero_dofs_global(
+                        basis.patch_side_dofs(patch, d, s))
+        spline = ExtractedSpline(sp, quad_degree=6)
+
+        def a(ctx, u, v):
+            uu, vv = ctx.rationalize(u), ctx.rationalize(v)
+            return jnp.sum(ctx.grad(uu) * ctx.grad(vv))
+
+        def L(ctx, v):
+            return f_rhs(ctx.x) * ctx.rationalize(v).val
+
+        # sanity: half-annulus area exact
+        if levels == 1:
+            area = float(spline.assemble_functional(lambda ctx: 1.0))
+            assert np.isclose(area, 1.5 * np.pi, rtol=1e-4)  # Gauss on rational J
+
+        U = spline.solve_linear_variational_problem(a, rhs_form=L)
+        errs.append(float(spline.errornorm(U, lambda ctx: soln(ctx.x))))
+    rates = [math.log(errs[i - 1] / errs[i]) / math.log(2.0)
+             for i in range(1, len(errs))]
+    for r in rates:
+        assert r > 3 - 0.4, (errs, rates)
