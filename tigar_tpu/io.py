@@ -26,7 +26,7 @@ import os
 import numpy as np
 
 from .models.bspline import TensorBSplineBasis, ControlMesh
-from .models.multipatch import MultiPatchBSplineBasis, MultiPatchControlMesh
+from .models.multipatch import MultiPatchBSplineBasis
 from .models.tsplines import TSplineBasis
 from .models.space import SplineSpace
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import INDEX_TYPE
-from ..ops.knots import KnotVector, ij2dof, ijk2dof, dof2ij, dof2ijk
+from ..ops.knots import KnotVector
 from ..ops.tabulation import (tabulate_tensor_bspline,
                               tabulate_tensor_bspline_boundary)
 

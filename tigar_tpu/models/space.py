@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import INDEX_TYPE
-from .bspline import ControlMesh, ScalarBasis
+from .bspline import ControlMesh
 
 
 class SplineSpace:
