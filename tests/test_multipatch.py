@@ -182,3 +182,61 @@ def test_two_patch_rational_poisson():
              for i in range(1, len(errs))]
     for r in rates:
         assert r > 3 - 0.4, (errs, rates)
+
+
+def test_merged_multipatch_c0_coupling():
+    """DoF merging across the patch interface (the reference's IPER TODO,
+    BSplines.py:656-659): a manufactured solution NOT vanishing at the
+    interface converges optimally on the C0-coupled half annulus."""
+    import jax
+    import jax.numpy as jnp
+    from tigar_tpu.models.nurbs import quarter_annulus_control
+    from tigar_tpu.ops.refine import uniform_refine
+    from tigar_tpu.models.multipatch import (MultiPatchBSplineBasis,
+                                             merge_coincident_dofs,
+                                             MergedControlMesh)
+
+    def soln(x):
+        r2 = x[0] ** 2 + x[1] ** 2
+        return (r2 - 1.0) * (r2 - 4.0) * x[1]
+
+    def f_rhs(x):
+        return -jnp.trace(jax.hessian(soln)(x))
+
+    errs = []
+    for levels in (1, 2, 3):
+        degrees, kvecs0, ctrl0 = quarter_annulus_control()
+        kvecs, ctrl1 = uniform_refine(degrees, kvecs0, ctrl0, levels=levels)
+        ctrl2 = ctrl1.copy()
+        ctrl2[..., 0], ctrl2[..., 1] = -ctrl1[..., 1].copy(), \
+            ctrl1[..., 0].copy()
+        patches = [TensorBSplineBasis(degrees, [k.copy() for k in kvecs])
+                   for _ in range(2)]
+        mp = MultiPatchBSplineBasis(patches)
+        merged, bnet = merge_coincident_dofs(mp, [ctrl1, ctrl2])
+        assert merged.ncp < mp.ncp  # interface DoFs actually merged
+        cm = MergedControlMesh(merged, bnet)
+        sp = EqualOrderSpline(1, cm)
+        # Dirichlet on the outer boundary only (NOT the interface):
+        # radial sides of both patches + the two angular ends
+        outer = [merged.map_dofs(mp.patch_side_dofs(p, 1, s))
+                 for p in (0, 1) for s in (0, 1)]
+        outer += [merged.map_dofs(mp.patch_side_dofs(0, 0, 0)),
+                  merged.map_dofs(mp.patch_side_dofs(1, 0, 1))]
+        for dofs in outer:
+            sp.add_zero_dofs_global(dofs)
+        spline = ExtractedSpline(sp, quad_degree=6)
+
+        def a(ctx, u, v):
+            uu, vv = ctx.rationalize(u), ctx.rationalize(v)
+            return jnp.sum(ctx.grad(uu) * ctx.grad(vv))
+
+        def L(ctx, v):
+            return f_rhs(ctx.x) * ctx.rationalize(v).val
+
+        U = spline.solve_linear_variational_problem(a, rhs_form=L)
+        errs.append(float(spline.errornorm(U, lambda ctx: soln(ctx.x))))
+    rates = [math.log(errs[i - 1] / errs[i]) / math.log(2.0)
+             for i in range(1, len(errs))]
+    for r in rates:
+        assert r > 3 - 0.4, (errs, rates)

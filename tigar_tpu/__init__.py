@@ -19,7 +19,8 @@ from .models.bspline import (TensorBSplineBasis, ScalarBasis,  # noqa: F401
 from .models.nurbs import NURBSControlMesh  # noqa: F401
 from .models.multipatch import (MultiPatchBSplineBasis,  # noqa: F401
                                 MultiPatchControlMesh,
-                                read_legacy_multipatch)
+                                read_legacy_multipatch, MergedBasis,
+                                merge_coincident_dofs, MergedControlMesh)
 from .models.tsplines import (TSplineBasis, RhinoTSplineControlMesh,  # noqa: F401
                               bspline_to_rhino_extraction)
 from .models.space import (SplineSpace, EqualOrderSpline,  # noqa: F401

@@ -9,9 +9,10 @@ concatenation of per-patch Bezier-element batches (padded to a common
 element width) with per-patch global DoF offsets; geometry and assembly
 flow through the standard batched pipeline, in any parametric dimension.
 
-Control points are NOT merged between patches, matching the reference
-(BSplines.py:656-659 TODO); inter-patch coupling is the user's
-responsibility (penalties or an explicit DoF merge map).
+By default control points are NOT merged between patches (matching the
+reference, BSplines.py:656-659 TODO); true C^0 inter-patch coupling is
+available through MergedBasis / merge_coincident_dofs, which implement the
+DoF identification ("IPER") mechanism the reference leaves as future work.
 """
 
 from __future__ import annotations
@@ -232,3 +233,110 @@ def read_legacy_multipatch(prefix, n_patch, suffix):
         bnets.append(np.asarray(rows))
     basis = MultiPatchBSplineBasis(patches)
     return MultiPatchControlMesh(basis, bnets)
+
+
+class MergedBasis(ScalarBasis):
+    """Scalar basis with a DoF identification map applied on top of another
+    basis -- the control-point merging mechanism the reference leaves as a
+    TODO ("analogous to IPER in the Fortran code", BSplines.py:656-659).
+    Coincident control points of adjacent patches share one DoF, giving
+    exact C^0 inter-patch coupling for matched parameterizations."""
+
+    def __init__(self, base: ScalarBasis, dof_map, ncp_merged):
+        self.base = base
+        self.dof_map = np.asarray(dof_map, dtype=np.int64)
+        if len(self.dof_map) != base.ncp:
+            raise ValueError("dof_map must cover every unmerged DoF")
+        self._ncp = int(ncp_merged)
+
+    @property
+    def ncp(self):
+        return self._ncp
+
+    @property
+    def nel(self):
+        return self.base.nel
+
+    @property
+    def dim(self):
+        return self.base.dim
+
+    def degree(self):
+        return self.base.degree()
+
+    def _remap(self, tab):
+        conn = self.dof_map[np.asarray(tab.conn, dtype=np.int64)]
+        return dataclasses.replace(tab, conn=conn.astype(INDEX_TYPE),
+                                   ncp=self._ncp)
+
+    def tabulate(self, npts_per_dir, nders, rule=None):
+        return self._remap(self.base.tabulate(npts_per_dir, nders,
+                                              rule=rule))
+
+    def tabulate_boundary(self, npts_per_dir, nders, direction, side):
+        return self._remap(self.base.tabulate_boundary(
+            npts_per_dir, nders, direction, side))
+
+    def __getattr__(self, name):
+        # delegate side-dof queries etc. in UNMERGED numbering; callers
+        # translate with map_dofs
+        return getattr(self.base, name)
+
+    def map_dofs(self, dofs):
+        """Translate unmerged DoF indices to merged indices."""
+        return np.unique(self.dof_map[np.asarray(dofs, dtype=np.int64)])
+
+    def evaluate(self, coeffs, xi, **kwargs):
+        """Evaluate merged coefficients by expanding to the unmerged
+        numbering first."""
+        coeffs = np.asarray(coeffs)
+        return self.base.evaluate(coeffs[self.dof_map], xi, **kwargs)
+
+
+def merge_coincident_dofs(basis: MultiPatchBSplineBasis, bnets, tol=1e-10):
+    """Build a MergedBasis + merged homogeneous control net by identifying
+    control points of different patches that coincide in physical space
+    (the reference's planned scipy-KDTree IPER construction,
+    BSplines.py:1070-1072).  All-pairs distances (TPU-era answer to the
+    KD-tree) on the dehomogenized control points.
+
+    Returns (merged_basis, merged_bnet).
+    """
+    flat = []
+    for i, b in enumerate(bnets):
+        b = np.asarray(b, dtype=np.float64)
+        if b.ndim > 2:
+            dim = b.ndim - 1
+            spatial = tuple(range(dim))[::-1]
+            b = b.transpose(spatial + (dim,)).reshape(-1, b.shape[-1])
+        flat.append(b)
+    B = np.concatenate(flat, axis=0)
+    x = B[:, :-1] / B[:, -1:]
+    n = x.shape[0]
+    d = np.linalg.norm(x[:, None, :] - x[None, :, :], axis=-1)
+    # union-find-lite: map every node to the smallest coincident index
+    owner = np.arange(n)
+    for i in range(n):
+        coincident = np.where(d[i] < tol)[0]
+        owner[i] = owner[coincident.min()]
+    uniq, merged = np.unique(owner, return_inverse=True)
+    merged_bnet = B[uniq]
+    return (MergedBasis(basis, merged, len(uniq)), merged_bnet)
+
+
+class MergedControlMesh(ControlMesh):
+    """Control mesh over a merged multipatch basis."""
+
+    def __init__(self, merged_basis: MergedBasis, merged_bnet):
+        self._basis = merged_basis
+        self._bnet = np.asarray(merged_bnet, dtype=np.float64)
+
+    def scalar_basis(self):
+        return self._basis
+
+    @property
+    def nsd(self):
+        return self._bnet.shape[1] - 1
+
+    def homogeneous_points(self):
+        return self._bnet
