@@ -144,3 +144,37 @@ def test_vtk_1d_and_3d_cells(tmp_path):
     write_vtk(fn3, spl3, fields={"u": U3}, resolution=1)
     txt = open(fn3).read()
     assert "12\n" in txt  # VTK_HEXAHEDRON
+
+
+def test_extraction_roundtrip_merged_multipatch(tmp_path):
+    """Merged multipatch bases survive the extraction round trip."""
+    from tigar_tpu.models.bspline import TensorBSplineBasis
+    from tigar_tpu.models.multipatch import (MultiPatchBSplineBasis,
+                                             merge_coincident_dofs,
+                                             MergedControlMesh)
+    p = 2
+    patches = [TensorBSplineBasis([p, p],
+                                  [uniform_knots(p, 0.0, 1.0, 2)] * 2)
+               for _ in range(2)]
+    mp = MultiPatchBSplineBasis(patches)
+    # patch nets side by side, sharing the x=1 edge
+    nets = []
+    for k in range(2):
+        gp = patches[k].greville_points()
+        B = np.zeros((gp.shape[0], 3))
+        B[:, 0] = gp[:, 0] + k
+        B[:, 1] = gp[:, 1]
+        B[:, 2] = 1.0
+        nets.append(B)
+    merged, bnet = merge_coincident_dofs(mp, nets)
+    assert merged.ncp < mp.ncp
+    cm = MergedControlMesh(merged, bnet)
+    sp = EqualOrderSpline(1, cm)
+    write_extraction(sp, str(tmp_path / "m"))
+    sp2 = read_extraction(str(tmp_path / "m"))
+    assert sp2.ndof == sp.ndof
+    spl1 = ExtractedSpline(sp, quad_degree=4)
+    spl2 = ExtractedSpline(sp2, quad_degree=4)
+    a1 = float(spl1.assemble_functional(lambda ctx: 1.0))
+    a2 = float(spl2.assemble_functional(lambda ctx: 1.0))
+    assert np.isclose(a1, 2.0, atol=1e-12) and np.isclose(a2, a1)

@@ -26,7 +26,7 @@ import os
 import numpy as np
 
 from .models.bspline import TensorBSplineBasis, ControlMesh
-from .models.multipatch import MultiPatchBSplineBasis
+from .models.multipatch import MultiPatchBSplineBasis, MergedBasis
 from .models.tsplines import TSplineBasis
 from .models.space import SplineSpace
 
@@ -45,6 +45,11 @@ def _basis_to_entry(basis, arrays, prefix):
             info["patches"].append(
                 _basis_to_entry(p, arrays, f"{prefix}p{i}_"))
         return info
+    if isinstance(basis, MergedBasis):
+        arrays[f"{prefix}dof_map"] = basis.dof_map
+        return {"type": "merged", "ncp": int(basis.ncp),
+                "base": _basis_to_entry(basis.base, arrays,
+                                        f"{prefix}base_")}
     if isinstance(basis, TSplineBasis):
         arrays[f"{prefix}C"] = basis.C
         arrays[f"{prefix}conn"] = basis.conn
@@ -64,6 +69,9 @@ def _basis_from_entry(info, arrays, prefix):
         patches = [_basis_from_entry(pi, arrays, f"{prefix}p{i}_")
                    for i, pi in enumerate(info["patches"])]
         return MultiPatchBSplineBasis(patches)
+    if t == "merged":
+        base = _basis_from_entry(info["base"], arrays, f"{prefix}base_")
+        return MergedBasis(base, arrays[f"{prefix}dof_map"], info["ncp"])
     if t == "tspline":
         C = arrays[f"{prefix}C"]
         conn = arrays[f"{prefix}conn"]
