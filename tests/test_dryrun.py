@@ -1,0 +1,35 @@
+"""The driver's multi-chip dryrun must exercise a GENUINE n-device mesh.
+
+Round-1 failure mode: make_device_mesh silently truncated to the available
+device count, so a "passing" dryrun could run on one chip.  These tests pin
+the strict behavior and run the full sharded Newton step on the virtual
+8-device CPU mesh the conftest provides.
+"""
+
+import os
+import sys
+
+import jax
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_make_device_mesh_raises_on_shortfall():
+    from tigar_tpu.parallel.sharding import make_device_mesh
+    with pytest.raises(RuntimeError, match="requested"):
+        make_device_mesh(len(jax.devices()) + 1)
+
+
+def test_make_device_mesh_exact_size():
+    from tigar_tpu.parallel.sharding import make_device_mesh
+    mesh = make_device_mesh(8)
+    assert mesh.devices.size == 8
+
+
+def test_dryrun_multichip_8_devices():
+    import __graft_entry__
+    # conftest provides 8 CPU devices, so this runs the real sharded step
+    # in-process (the driver path re-execs a subprocess when the ambient
+    # backend cannot present n devices).
+    __graft_entry__._dryrun_impl(8)

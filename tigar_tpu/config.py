@@ -34,9 +34,11 @@ DEFAULT_REAL_TYPE = jnp.float64 if jax.config.read("jax_enable_x64") else jnp.fl
 # common.py:56-60 -- raised from 1e-9 because biharmonic convergence degraded).
 DEFAULT_BASIS_FUNC_IGNORE_EPS = 1e-15
 
-# Tolerance used when comparing knots for equality (reference:
-# KNOT_NEAR_EPS = 10*DOLFIN_EPS, BSplines.py:40-42).
-KNOT_NEAR_EPS = 10.0 * np.finfo(np.float64).eps * 1e1  # ~2.2e-14 absolute
+# Tolerance used when comparing knots for equality: 100*eps ~ 2.2e-14
+# absolute.  (The reference uses 10*DOLFIN_EPS ~ 3e-15, BSplines.py:40-42;
+# we keep one extra order of headroom because knot arithmetic here runs
+# through batched normalization/refinement rather than one-off scalars.)
+KNOT_NEAR_EPS = 100.0 * np.finfo(np.float64).eps
 
 # Default Newton solver parameters (reference: common.py:1292-1302).
 DEFAULT_MAX_ITERS = 20

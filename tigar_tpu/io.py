@@ -153,14 +153,20 @@ def _vis_rule(m):
     return pts, np.zeros_like(pts)
 
 
-def write_vtk(fname, spline, fields=None, pointwise=None, resolution=4):
+def write_vtk(fname, spline, fields=None, pointwise=None, resolution=4,
+              rationalize=True):
     """Write a legacy-VTK unstructured-quad (or line/hex) sampling of the
     spline at physical locations.
 
-    fields    : dict name -> DoF vector (values are rationalized)
+    fields    : dict name -> DoF vector
     pointwise : dict name -> fn(ctx) sampled at visualization points
                 (replaces projectScalarOntoLinears, common.py:1351-1388)
     resolution: subdivisions per Bezier element per direction
+    rationalize: divide sampled field values by the control weight w.  This
+                is correct only for homogeneous equal-order coefficients
+                (the default isoparametric representation); pass False for
+                compatible (RT/N) or otherwise non-isoparametric spaces,
+                where the coefficients are not homogeneous.
     """
     from .ops.geometry import precompute_geometry, eval_jet_arrays
     import jax
@@ -183,8 +189,10 @@ def write_vtk(fname, spline, fields=None, pointwise=None, resolution=4):
                 tab = spline.space.fields[f].tabulate(m + 1, 0, rule=rule)
                 v, _, _ = eval_jet_arrays(tab, U[spline.space.field_slice(f)])
                 vals.append(np.asarray(v))
-            w = np.asarray(geom.w)
-            data[name] = np.stack(vals, axis=-1) / w[..., None]
+            stacked = np.stack(vals, axis=-1)
+            if rationalize:
+                stacked = stacked / np.asarray(geom.w)[..., None]
+            data[name] = stacked
     if pointwise:
         for name, fn in pointwise.items():
             v = jax.vmap(jax.vmap(fn))(geom)

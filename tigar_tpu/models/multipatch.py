@@ -88,9 +88,14 @@ class MultiPatchBSplineBasis(ScalarBasis):
     def __init__(self, patches):
         if not patches:
             raise ValueError("need at least one patch")
-        self.patches = list(patches)
-        for p in self.patches:
-            p.normalize_knot_vectors()
+        # Normalize COPIES of the patch bases: a patch basis also used
+        # standalone (e.g. inside an existing control mesh) must not change
+        # parameterization behind the caller's back.
+        self.patches = [
+            TensorBSplineBasis(p.degrees,
+                               [kv.knots for kv in p.kvs]
+                               ).normalize_knot_vectors()
+            for p in patches]
         if len({p.dim for p in self.patches}) != 1:
             raise ValueError("all patches must share a parametric dimension")
         self.doffsets = np.concatenate(
@@ -300,6 +305,12 @@ def merge_coincident_dofs(basis: MultiPatchBSplineBasis, bnets, tol=1e-10):
     BSplines.py:1070-1072).  All-pairs distances (TPU-era answer to the
     KD-tree) on the dehomogenized control points.
 
+    Coincidence is transitive: connected components of the d<tol graph are
+    merged (so chains a~b, b~c with |a-c|>tol still collapse to one DoF).
+    Points merged on dehomogenized position must also agree in NURBS weight;
+    a weight mismatch beyond ``tol`` (relative) raises, since silently
+    keeping the first patch's homogeneous point would change the geometry.
+
     Returns (merged_basis, merged_bnet).
     """
     flat = []
@@ -314,12 +325,36 @@ def merge_coincident_dofs(basis: MultiPatchBSplineBasis, bnets, tol=1e-10):
     x = B[:, :-1] / B[:, -1:]
     n = x.shape[0]
     d = np.linalg.norm(x[:, None, :] - x[None, :, :], axis=-1)
-    # union-find-lite: map every node to the smallest coincident index
+
+    # union-find with path compression over the d<tol adjacency graph
     owner = np.arange(n)
+
+    def find(i):
+        root = i
+        while owner[root] != root:
+            root = owner[root]
+        while owner[i] != root:
+            owner[i], i = root, owner[i]
+        return root
+
     for i in range(n):
-        coincident = np.where(d[i] < tol)[0]
-        owner[i] = owner[coincident.min()]
-    uniq, merged = np.unique(owner, return_inverse=True)
+        for j in np.where(d[i, :i] < tol)[0]:
+            ri, rj = find(i), find(int(j))
+            if ri != rj:
+                owner[max(ri, rj)] = min(ri, rj)
+    roots = np.asarray([find(i) for i in range(n)])
+    uniq, merged = np.unique(roots, return_inverse=True)
+
+    w = B[:, -1]
+    wref = w[uniq][merged]
+    bad = np.abs(w - wref) > tol * np.maximum(np.abs(wref), 1.0)
+    if np.any(bad):
+        raise ValueError(
+            "merge_coincident_dofs: control points coincide in physical "
+            "space but differ in NURBS weight at unmerged DoF(s) %s; "
+            "merging would silently change the geometry"
+            % np.where(bad)[0][:10].tolist())
+
     merged_bnet = B[uniq]
     return (MergedBasis(basis, merged, len(uniq)), merged_bnet)
 

@@ -84,6 +84,23 @@ def _geom_point(xi, H, Hg, Hh, nref):
               sqrtJ=sqrtJ, pinv=pinv, nref=nref, normal=normal, surfJ=surfJ)
 
 
+_GEOM_JIT_CACHE = {}
+
+
+def _geom_batched(has_h, has_n):
+    """Module-level cache of the jitted double-vmapped QP builder so repeated
+    geometry precomputation (e.g. write_vtk time-series loops) reuses the
+    compiled kernel instead of retracing per call."""
+    key = (has_h, has_n)
+    fn = _GEOM_JIT_CACHE.get(key)
+    if fn is None:
+        axes = (0, 0, 0, 0 if has_h else None, 0 if has_n else None)
+        fn = jax.jit(jax.vmap(jax.vmap(_geom_point, in_axes=axes),
+                              in_axes=axes))
+        _GEOM_JIT_CACHE[key] = fn
+    return fn
+
+
 def precompute_geometry(ctrl_tab, bnet):
     """Evaluate the geometry QP at every quadrature point of ``ctrl_tab``.
 
@@ -100,7 +117,5 @@ def precompute_geometry(ctrl_tab, bnet):
         nref = jnp.broadcast_to(jnp.asarray(ctrl_tab.normal),
                                 (nel, nq) + (xi.shape[-1],))
 
-    axes = (0, 0, 0, None if hh is None else 0, None if nref is None else 0)
-    flat = jax.vmap(jax.vmap(_geom_point, in_axes=axes), in_axes=axes)
-    # jit so construction runs as one fused kernel instead of eager op-by-op
-    return jax.jit(flat)(xi, val, gg, hh, nref)
+    fn = _geom_batched(hh is not None, nref is not None)
+    return fn(xi, val, gg, hh, nref)

@@ -26,10 +26,21 @@ ELEMENT_AXIS = "elements"
 
 
 def make_device_mesh(n_devices=None, devices=None):
-    """1D device mesh over the element axis."""
+    """1D device mesh over the element axis.
+
+    Raises if fewer than ``n_devices`` devices are available -- silently
+    truncating would let an "8-way" run execute on one chip unnoticed."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"make_device_mesh: requested {n_devices} devices but only "
+                f"{len(devices)} are available ({[d.platform for d in devices]}); "
+                "for virtual multi-device testing force the CPU backend with "
+                "jax.config.update('jax_platforms', 'cpu') and "
+                "jax.config.update('jax_num_cpu_devices', n) before any "
+                "backend initialization")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (ELEMENT_AXIS,))
 
