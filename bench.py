@@ -102,13 +102,13 @@ def main():
 
     @jax.jit
     def residual(asm_, mask_, U):
-        return asm_.residual_vector(res_density, asm_.jets_tree(U)) * mask_
+        return asm_.residual_vector(res_density, U) * mask_
 
     @jax.jit
     def tangent_action(asm_, mask_, U, W):
         W_in = mask_ * W
         out = jax.jvp(
-            lambda a: asm_.residual_vector(res_density, asm_.jets_tree(a)),
+            lambda a: asm_.residual_vector(res_density, a),
             (U,), (W_in,))[1]
         return mask_ * out + (1.0 - mask_) * W
 

@@ -40,6 +40,13 @@ DEFAULT_BASIS_FUNC_IGNORE_EPS = 1e-15
 # through batched normalization/refinement rather than one-off scalars.)
 KNOT_NEAR_EPS = 100.0 * np.finfo(np.float64).eps
 
+# Elements per assembly chunk for large problems.  Assembly maps a
+# per-element kernel over the Bezier-element batch; beyond this many
+# elements the map runs in lax.map chunks so the per-point jet
+# intermediates (which XLA pads heavily for small trailing dims) peak at
+# one chunk, not the whole batch.  None/0 disables chunking.
+DEFAULT_ASSEMBLY_CHUNK = int(os.environ.get("TIGAR_ASSEMBLY_CHUNK", 8192))
+
 # Default Newton solver parameters (reference: common.py:1292-1302).
 DEFAULT_MAX_ITERS = 20
 DEFAULT_RELATIVE_TOLERANCE = 1e-5

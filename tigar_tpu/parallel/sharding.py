@@ -80,6 +80,9 @@ def shard_assembler(asm, mesh):
     children, aux = asm.tree_flatten()
     placed = jax.tree_util.tree_map(place, children)
     out = type(asm).tree_unflatten(aux, placed)
+    # chunked lax.map would reshape the sharded element axis; per-device
+    # memory is already bounded by the shard, so disable chunking here
+    out.chunk = None
     # zero the quadrature scale of padded elements so they are inert
     if nel_padded != nel:
         import jax.numpy as jnp
