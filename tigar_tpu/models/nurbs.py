@@ -16,9 +16,13 @@ from .bspline import ControlMesh, TensorBSplineBasis
 class NURBSControlMesh(ControlMesh):
     """Control mesh with rational (NURBS) geometry.
 
+    Construct either from arrays or from a PetIGA ``.dat`` filename
+    (``NURBSControlMesh("geometry.dat")``), matching the reference's
+    igakit/PetIGA input path (tIGAr/NURBS.py:23-36; format in petiga_io.py).
+
     Parameters
     ----------
-    degrees   : per-direction polynomial degrees
+    degrees   : per-direction polynomial degrees, OR a ``.dat`` filename
     kvecs     : per-direction knot vectors
     ctrl_grid : homogeneous control net, shape (n0[, n1[, n2]], nsd+1) with
                 entries (w*x_0, ..., w*x_{nsd-1}, w), indexed [i, j, k] in
@@ -26,7 +30,13 @@ class NURBSControlMesh(ControlMesh):
                 matches the reference's bnet layout, NURBS.py:46-68).
     """
 
-    def __init__(self, degrees, kvecs, ctrl_grid):
+    def __init__(self, degrees, kvecs=None, ctrl_grid=None):
+        if isinstance(degrees, str):
+            from ..petiga_io import read_petiga
+            degrees, kvecs, ctrl_grid = read_petiga(degrees)
+            if ctrl_grid is None:
+                raise ValueError("PetIGA file has no geometry (control "
+                                 "net); cannot build a control mesh")
         self._basis = TensorBSplineBasis(degrees, kvecs)
         ctrl = np.asarray(ctrl_grid, dtype=np.float64)
         dim = self._basis.dim
