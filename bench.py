@@ -1,18 +1,31 @@
-"""Benchmark: Kirchhoff-Love shell assembly + solve on TPU.
+"""Benchmark: Kirchhoff-Love shell assembly + Newton solve on TPU.
 
 Headline metric (BASELINE.json: "assembled DoF/s + solve wall-clock on
-KL-shell"): sustained DoF/s of residual assembly (the gather -> jet ->
-nested-AD energy variation -> scatter pipeline that replaces FFC element
-kernels + DOLFIN assemble + PETSc MatPtAP in the reference), plus the
-wall-clock of a full matrix-free Newton step (assembly + Jacobi-CG).
+KL-shell"): sustained DoF/s of SVK shell residual assembly -- the pipeline
+that replaces FFC element kernels + DOLFIN assemble + PETSc MatPtAP in the
+reference -- plus the wall-clock of a full mixed-precision Newton step.
 
-vs_baseline: ratio against an estimated 1.0e5 DoF/s for the reference's CPU
-path on this workload.  The reference publishes no numbers (BASELINE.md);
-the estimate comes from the reference's own warning that KL-shell form
-compilation/assembly is unusually slow (kl-hyper.py:13-16) and typical
-FEniCS assembly rates of 1e4-1e6 DoF/s for 4th-order shell residuals on one
-CPU socket.  The driver's north-star of >=10x CPU FEniCS corresponds to
-vs_baseline >= 10.
+TIMING METHODOLOGY (round-2 fix).  This machine reaches the TPU through a
+remote-execution tunnel whose ``block_until_ready`` returns before device
+execution completes, so naive dispatch-loop timing measures host dispatch
+rate, not device time (round-1 numbers were inflated ~3000x by this).
+Every number here is measured as: REP assemblies CHAINED inside one jitted
+``lax.scan`` (each iteration's input depends on the previous output, so
+nothing can be elided), ending in a scalar that is fetched to the host
+with ``float()`` -- the fetch cannot return before the device finishes.
+The ~30 ms fetch round-trip is amortized over REP.
+
+PRECISION.  TPU v5e has no native f64; XLA emulates it at ~30x the f32
+cost for this pointwise-AD-heavy workload.  The production path is
+mixed precision: f32 assembly + CG (same 1e-5 Newton tolerance the
+reference uses, common.py:1292-1302) with f64 residual evaluation for
+refinement where verification demands it (solvers/refinement.py).  Both
+f32 and f64 assembly rates are reported; the headline is the f32
+production rate.
+
+vs_baseline: ratio against an estimated 1.0e5 DoF/s for the reference's
+CPU path on this workload (FEniCS 4th-order shell residual assembly on one
+CPU socket; the reference publishes no numbers, BASELINE.md).
 
 Prints ONE JSON line to stdout; diagnostics go to stderr.
 """
@@ -21,6 +34,7 @@ import json
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -39,6 +53,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
+    import jax.tree_util as jtu
 
     from tigar_tpu.ops.knots import uniform_knots
     from tigar_tpu.models.bspline import ExplicitBSplineControlMesh
@@ -48,7 +63,7 @@ def main():
     from tigar_tpu.forms import deriv
 
     log("devices:", jax.devices())
-    nel = int(os.environ.get("BENCH_NEL", "64"))
+    nel = int(os.environ.get("BENCH_NEL", "128"))
     p = 2
     degs = [p, p]
     kvecs = [uniform_knots(p, -1.0, 1.0, nel)] * 2
@@ -62,34 +77,13 @@ def main():
                 sp.add_zero_dofs(i, dofs)
 
     t0 = time.time()
-    spline = ExtractedSpline(sp, quad_degree=2 * p, nders=2)
-    asm = spline._assembler("dx")
+    from tigar_tpu.models.shell import precompute_shell_reference
+    spline = precompute_shell_reference(
+        ExtractedSpline(sp, quad_degree=2 * p, nders=2))
+    asm64 = spline._assembler("dx")
     log(f"preprocess (tabulation+geometry): {time.time() - t0:.2f}s; "
-        f"nel={asm.nel}, ndof={spline.ndof}, nq={asm.nq}")
-
-    # ---- f32 fast-path operator apply (Poisson stiffness) ----------------------
-    from tigar_tpu.ops.pallas_kernels import make_laplace_operator
-    nel_fast = int(os.environ.get("BENCH_NEL_FAST", "256"))
-    cm2 = ExplicitBSplineControlMesh(
-        [p, p], [uniform_knots(p, -1.0, 1.0, nel_fast)] * 2)
-    sp2 = EqualOrderSpline(1, cm2)
-    b2 = cm2.scalar_basis()
-    for direction in (0, 1):
-        for side in (0, 1):
-            sp2.add_zero_dofs(0, b2.side_dofs(direction, side))
-    spl2 = ExtractedSpline(sp2, quad_degree=2 * p)
-    asm2 = spl2._assembler("dx")
-    op32 = make_laplace_operator(asm2, spl2.mask)
-    Wp = jnp.asarray(np.random.default_rng(0).normal(size=spl2.ndof))
-    r32 = op32(Wp)
-    r32.block_until_ready()
-    t0 = time.time()
-    for _ in range(50):
-        op32(Wp).block_until_ready()  # per-call sync: honest latency
-    dt_fast = (time.time() - t0) / 50
-    log(f"f32 fast-path stiffness apply ({spl2.ndof} dofs, blocked): "
-        f"{dt_fast * 1e3:.3f} ms ({spl2.ndof / dt_fast:.3e} dof/s)")
-
+        f"nel={asm64.nel}, ndof={spline.ndof}, nq={asm64.nq}, "
+        f"chunk={asm64.chunk}")
 
     E_mod, nu, h_th, q = 1.0e7, 0.3, 0.03, 1.0e-2
 
@@ -98,116 +92,121 @@ def main():
                       u, v)
         return dWint - q * v.val[2]
 
-    mask = spline.mask
+    asm32 = jtu.tree_map(
+        lambda x: x.astype(jnp.float32)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, asm64)
+    mask64 = spline.mask
+    mask32 = mask64.astype(jnp.float32)
 
-    @jax.jit
-    def residual(asm_, mask_, U):
-        return asm_.residual_vector(res_density, U) * mask_
+    # ---- chained-scan timing harness -----------------------------------------
+    @partial(jax.jit, static_argnames=("rep",))
+    def chained_residuals(asm_, U, c, rep):
+        """rep residual assemblies, each depending on the previous result."""
+        def body(carry, _):
+            r = asm_.residual_vector(
+                res_density, U + jnp.asarray(1e-9, U.dtype) * carry)
+            return (jnp.vdot(r, r) * 1e-30).astype(carry.dtype), None
+        return jax.lax.scan(body, c, None, length=rep)[0]
 
-    @jax.jit
-    def tangent_action(asm_, mask_, U, W):
-        W_in = mask_ * W
-        out = jax.jvp(
-            lambda a: asm_.residual_vector(res_density, a),
-            (U,), (W_in,))[1]
-        return mask_ * out + (1.0 - mask_) * W
+    def time_assembly(asm_, dtype, rep):
+        rng = np.random.default_rng(0)
+        U = jnp.asarray(rng.normal(size=spline.ndof) * 1e-4, dtype=dtype)
+        c0 = jnp.zeros((), dtype)
+        t0 = time.time()
+        float(chained_residuals(asm_, U, c0, rep))
+        log(f"  compile+first ({np.dtype(dtype).name}): "
+            f"{time.time() - t0:.1f}s")
+        best = np.inf
+        for i in range(2):
+            t0 = time.time()
+            float(chained_residuals(asm_, U, c0 + i, rep))
+            best = min(best, (time.time() - t0) / rep)
+        return best
 
+    rep32 = int(os.environ.get("BENCH_REPS", "20"))
+    rep64 = max(2, rep32 // 8)  # f64 emulation ~30x: keep programs < 60 s
+    dt32 = time_assembly(asm32, jnp.float32, rep32)
+    dof_s_32 = spline.ndof / dt32
+    log(f"residual assembly f32: {dt32 * 1e3:.3f} ms "
+        f"({dof_s_32:.3e} DoF/s)")
+
+    dt64 = None
+    deadline = float(os.environ.get("BENCH_DEADLINE", "900"))
+    if time.time() - T_START < deadline:
+        dt64 = time_assembly(asm64, jnp.float64, rep64)
+        log(f"residual assembly f64: {dt64 * 1e3:.3f} ms "
+            f"({spline.ndof / dt64:.3e} DoF/s)")
+
+    # ---- mixed-precision Newton step ------------------------------------------
+    # One production Newton step: f64 residual (verification-grade),
+    # f32 Jacobi-CG on the tangent (the reference's own linear tolerances
+    # are 1e-2..1e-5: taylor-green-3d.py:89-91, common.py:1292-1302).
     N_CG = int(os.environ.get("BENCH_CG_ITERS", "50"))
 
-    def newton_step(asm_, mask_, U):
-        """Residual + N_CG conjugate-gradient iterations + update.  The CG
-        loop runs at the Python level with the jitted action; all vector ops
-        stay on device and dispatch asynchronously (no host syncs inside)."""
-        r = residual(asm_, mask_, U)
-        x = jnp.zeros_like(r)
-        p = r
-        rz = jnp.vdot(r, r)
-        rr = r
-        for _ in range(N_CG):
-            Ap = tangent_action(asm_, mask_, U, p)
-            alpha = rz / jnp.vdot(p, Ap)
-            x = x + alpha * p
+    @jax.jit
+    def newton_step(asm64_, asm32_, m64, m32, U):
+        r64 = asm64_.residual_vector(res_density, U) * m64
+        r = r64.astype(jnp.float32)
+        U32 = U.astype(jnp.float32)
+
+        def action(W):
+            out = jax.jvp(lambda a: asm32_.residual_vector(res_density, a),
+                          (U32,), (m32 * W,))[1]
+            return m32 * out + (1.0 - m32) * W
+
+        def cg(carry, _):
+            x, rr, pp, rz = carry
+            Ap = action(pp)
+            alpha = rz / jnp.vdot(pp, Ap)
+            x = x + alpha * pp
             rr = rr - alpha * Ap
             rz_new = jnp.vdot(rr, rr)
-            p = rr + (rz_new / rz) * p
-            rz = rz_new
-        return U - x, jnp.linalg.norm(r)
+            pp = rr + (rz_new / rz) * pp
+            return (x, rr, pp, rz_new), None
 
-    U = jnp.zeros(spline.ndof, dtype=spline.dtype)
+        x0 = jnp.zeros_like(r)
+        (x, _, _, _), _ = jax.lax.scan(
+            cg, (x0, r, r, jnp.vdot(r, r)), None, length=N_CG)
+        U_new = U - x.astype(U.dtype)
+        return U_new, jnp.linalg.norm(r64)
 
-    # ---- residual assembly throughput ----------------------------------------
-    t0 = time.time()
-    r = residual(asm, mask, U)
-    r.block_until_ready()
-    log(f"residual compile+first run: {time.time() - t0:.1f}s")
-
-    n_rep = int(os.environ.get("BENCH_REPS", "50"))
-    t0 = time.time()
-    for _ in range(n_rep):
-        r = residual(asm, mask, U)
-    r.block_until_ready()
-    dt_assembly = (time.time() - t0) / n_rep
-    dof_per_s = spline.ndof / dt_assembly
-    log(f"residual assembly: {dt_assembly * 1e3:.3f} ms "
-        f"({dof_per_s:.3e} DoF/s, dtype={spline.dtype})")
-
-    # ---- f32 shell residual (mixed-precision production path) -----------------
-    dt_asm32 = None
-    deadline = float(os.environ.get("BENCH_DEADLINE", "330"))
-    if time.time() - T_START < deadline:
-        import jax.tree_util as jtu
-        asm32 = jtu.tree_map(
-            lambda x: x.astype(jnp.float32)
-            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-            else x, asm)
-        mask32 = mask.astype(jnp.float32)
-        U32 = U.astype(jnp.float32)
-        r = residual(asm32, mask32, U32)
-        r.block_until_ready()
-        t0 = time.time()
-        for _ in range(n_rep):
-            r = residual(asm32, mask32, U32)
-        r.block_until_ready()
-        dt_asm32 = (time.time() - t0) / n_rep
-        log(f"residual assembly f32: {dt_asm32 * 1e3:.3f} ms "
-            f"({spline.ndof / dt_asm32:.3e} DoF/s)")
-
-    # ---- Newton-step solve wall-clock (skipped if near the deadline: its
-    # tangent-action compile is the most expensive through the remote
-    # compiler and must never cost us the headline metric) ---------------------
-    dt_solve = None
+    dt_step = None
     rnorm = None
     if time.time() - T_START < deadline:
+        U = jnp.zeros(spline.ndof, dtype=spline.dtype)
         t0 = time.time()
-        U1, rnorm = newton_step(asm, mask, U)
-        U1.block_until_ready()
-        log(f"newton step compile+first run: {time.time() - t0:.1f}s")
-        n_solve = 2
+        U1, rn = newton_step(asm64, asm32, mask64, mask32, U)
+        rnorm = float(rn)  # value fetch forces completion
+        log(f"newton step compile+first: {time.time() - t0:.1f}s "
+            f"|r|={rnorm:.3e}")
         t0 = time.time()
-        for _ in range(n_solve):
-            U1, rnorm = newton_step(asm, mask, U)
-        U1.block_until_ready()
-        dt_solve = (time.time() - t0) / n_solve
-        log(f"newton step (assemble + {N_CG} CG iterations): "
-            f"{dt_solve * 1e3:.1f} ms; |r|={float(rnorm):.3e}")
-        assert np.isfinite(float(rnorm))
-        assert np.all(np.isfinite(np.asarray(U1)))
+        U2, rn = newton_step(asm64, asm32, mask64, mask32, U1)
+        rnorm = float(rn)
+        dt_step = time.time() - t0
+        log(f"newton step (f64 residual + {N_CG} f32 CG): "
+            f"{dt_step * 1e3:.1f} ms; |r|={rnorm:.3e}")
+        assert np.isfinite(rnorm)
 
     print(json.dumps({
         "metric": "kl_shell_assembled_dof_per_s",
-        "value": dof_per_s,
+        "value": dof_s_32,
         "unit": "dof/s",
-        "vs_baseline": dof_per_s / CPU_FENICS_BASELINE_DOF_PER_S,
+        "vs_baseline": dof_s_32 / CPU_FENICS_BASELINE_DOF_PER_S,
         "extra": {
             "ndof": spline.ndof,
-            "nel": int(asm.nel),
-            "dtype": str(spline.dtype),
-            "residual_assembly_ms": dt_assembly * 1e3,
-            "newton_step_solve_ms":
-                None if dt_solve is None else dt_solve * 1e3,
-            "residual_assembly_f32_dof_per_s":
-                None if dt_asm32 is None else spline.ndof / dt_asm32,
-            "poisson_fastpath_apply_dof_per_s": spl2.ndof / dt_fast,
+            "nel": int(asm64.nel),
+            "headline_dtype": "float32 (mixed-precision production path)",
+            "residual_assembly_f32_ms": dt32 * 1e3,
+            "residual_assembly_f64_ms":
+                None if dt64 is None else dt64 * 1e3,
+            "residual_assembly_f64_dof_per_s":
+                None if dt64 is None else spline.ndof / dt64,
+            "newton_step_ms": None if dt_step is None else dt_step * 1e3,
+            "newton_residual_norm": rnorm,
+            "timing": "chained lax.scan + host value fetch (see bench.py "
+                      "docstring; round-1 dispatch-loop numbers were "
+                      "invalid through the remote tunnel)",
             "device": str(jax.devices()[0]),
         },
     }))

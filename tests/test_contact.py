@@ -136,3 +136,34 @@ def test_membrane_contact_equilibrium():
     else:
         raise AssertionError("combined Newton failed to converge")
     assert np.all(np.isfinite(np.asarray(U)))
+
+
+def test_row_chunked_contact_matches_unchunked():
+    """Row-chunked (rematerialized) all-pairs contact must match the
+    unchunked path exactly for energy, residual (grad), and tangent action
+    (HVP) -- the memory-scaling knob for ~10^4 collocation points
+    (reef-knot.py:157-269)."""
+    from tigar_tpu.ops.knots import uniform_knots
+    from tigar_tpu.models.bspline import ExplicitBSplineControlMesh
+    from tigar_tpu.models.space import EqualOrderSpline
+
+    mesh = ExplicitBSplineControlMesh(
+        [2, 2], [uniform_knots(2, 0.0, 1.0, 8)] * 2, extra_dim=1)
+    sp = EqualOrderSpline(3, mesh)
+    spline = ExtractedSpline(sp, quad_degree=4, nders=2)
+    # reference distances in (r_self, r_max) are active already at U=0
+    c_full = PointContact(spline, k=1e5, r_max=0.18, r_self=0.1)
+    c_chunk = PointContact(spline, k=1e5, r_max=0.18, r_self=0.1,
+                           row_chunk=7)  # non-divisor of n=100
+    rng = np.random.default_rng(5)
+    U = jnp.asarray(rng.normal(size=spline.ndof) * 0.05)
+    W = jnp.asarray(rng.normal(size=spline.ndof))
+    e1, e2 = float(c_full.energy(U)), float(c_chunk.energy(U))
+    assert e1 > 0.0 and abs(e1 - e2) < 1e-12 * e1
+    r1, r2 = c_full.residual(U), c_chunk.residual(U)
+    assert float(jnp.max(jnp.abs(r1 - r2))) < 1e-12 * \
+        float(jnp.max(jnp.abs(r1)))
+    t1 = c_full.tangent_action(U, W)
+    t2 = c_chunk.tangent_action(U, W)
+    assert float(jnp.max(jnp.abs(t1 - t2))) < 1e-12 * \
+        float(jnp.max(jnp.abs(t1)))

@@ -9,7 +9,7 @@ from tigar_tpu.ops.knots import uniform_knots
 from tigar_tpu.models.bspline import ExplicitBSplineControlMesh
 from tigar_tpu.models.space import EqualOrderSpline
 from tigar_tpu.models.extracted import ExtractedSpline
-from tigar_tpu.ops.pallas_kernels import make_laplace_operator
+from tigar_tpu.ops.fastpath import make_laplace_operator
 from tigar_tpu.solvers.linear import jacobi_preconditioner
 from tigar_tpu.solvers.refinement import refine_solve
 

@@ -135,3 +135,30 @@ def test_sharded_shell_residual():
     shard_spline(spline_sh, mesh)
     r_sh = np.asarray(spline_sh.assemble_vector(res, U=replicate(U, mesh)))
     assert np.allclose(r_sh, r_ref, atol=1e-12)
+
+
+def test_sharded_sumfac_forms_residual():
+    """Sum-factorized arbitrary-form assembly (ops/sumfac_forms.py) under a
+    sharded DoF grid: XLA/GSPMD inserts the halo exchange for the shifted
+    slide windows; results match the unsharded evaluation exactly (the
+    distributed-sumfac story of VERDICT round-1 item 3)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tigar_tpu.ops.sumfac_forms import make_sumfac_assembler
+    from tigar_tpu.parallel.sharding import ELEMENT_AXIS
+
+    p, nel = 2, 8
+    cm = ExplicitBSplineControlMesh(
+        [p, p, p], [uniform_knots(p, 0.0, 1.0, nel)] * 3)
+    spline = ExtractedSpline(EqualOrderSpline(1, cm), quad_degree=2 * p)
+    asm = make_sumfac_assembler(spline)
+
+    def pois(ctx, u, v):
+        return jnp.dot(ctx.grad(u), ctx.grad(v)) - v.val
+
+    W = jnp.asarray(np.random.default_rng(3).normal(size=spline.ndof))
+    ref = np.asarray(jax.jit(asm.residual_vector, static_argnums=0)(pois, W))
+
+    mesh = make_device_mesh(8)
+    Ws = jax.device_put(W, NamedSharding(mesh, P(ELEMENT_AXIS)))
+    out = np.asarray(jax.jit(asm.residual_vector, static_argnums=0)(pois, Ws))
+    assert np.allclose(out, ref, atol=1e-12)

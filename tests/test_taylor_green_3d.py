@@ -40,9 +40,9 @@ def exact_dissipation_t0():
     return 0.75 * VISC / DENS
 
 
-def make_rt_spline():
+def make_rt_spline(nel=NEL):
     degs = [1, 1, 1]
-    kvecs = [uniform_knots(1, 0.0, math.pi, NEL)] * 3
+    kvecs = [uniform_knots(1, 0.0, math.pi, nel)] * 3
     cm = ExplicitBSplineControlMesh(degs, kvecs)
     sp = BSplineCompat(cm, "RT", degs)
     for field in range(3):
@@ -52,10 +52,10 @@ def make_rt_spline():
     return ExtractedSpline(sp, quad_degree=3, nders=1, geom_nders=2)
 
 
-def test_taylor_green_3d_rt():
-    spline = make_rt_spline()
-    n_steps = 3
-    dt = 16.0 / (8 * NEL) / 4.0
+def run_tg3_rt(nel, n_steps, dt):
+    """Run the RT Taylor-Green flow; return (dissipation rates, normalized
+    kinetic energies, final divergence error), sampled at t_0..t_n."""
+    spline = make_rt_spline(nel)
 
     U = div_free_project(spline, lambda ctx: exact_tg3(ctx.x), penalty=1e1)
     Udot = jnp.zeros_like(U)
@@ -79,27 +79,67 @@ def test_taylor_green_3d_rt():
             return (2.0 * VISC / DENS / math.pi ** 3) * jnp.sum(e * e)
         return float(spline.assemble_functional(density, U=U_arr))
 
-    # dissipation rate of the projected IC matches the exact field's value
-    d0 = dissipation(U)
-    assert abs(d0 - exact_dissipation_t0()) / exact_dissipation_t0() < 0.05
+    def energy(U_arr):
+        def density(ctx, u):
+            up = ctx.pushforward_RT(u)
+            return (0.5 / math.pi ** 3) * jnp.sum(up.val * up.val)
+        return float(spline.assemble_functional(density, U=U_arr))
 
     solver = IteratedPenaltySolver(spline, res)
     w = jnp.zeros_like(U)
-    rates = [d0]
+    rates = [dissipation(U)]
+    energies = [energy(U)]
     for step in range(n_steps):
         aux = {"x_old": timeInt.x_old, "xdot_old": timeInt.xdot_old}
         timeInt.x, w = solver.solve(timeInt.x, w=w, penalty=1e4, aux=aux)
         timeInt.advance()
         rates.append(dissipation(timeInt.x_old))
+        energies.append(energy(timeInt.x_old))
+    div_err = float(spline.assemble_functional(
+        lambda ctx, u: piola_div(ctx, u) ** 2, U=timeInt.x_old))
+    return rates, energies, div_err
 
-    # dissipation decays in time (taylor-green-3d.py:151-166)
-    assert rates[-1] < rates[0]
+
+def test_taylor_green_3d_rt():
+    n_steps = 3
+    dt = 1.0 / 12.0
+    rates, energies, div_err = run_tg3_rt(NEL, n_steps, dt)
+
+    # dissipation rate of the projected IC matches the exact field's
+    # ANALYTIC value 3 nu / 4 (the t=0 anchor of the Evans/Brachet curve,
+    # taylor-green-3d.py:151-166)
+    d0 = rates[0]
+    assert abs(d0 - exact_dissipation_t0()) / exact_dissipation_t0() < 0.05
+
+    # QUANTITATIVE curve validation via the energy balance: for
+    # incompressible NS with these BCs, -dE/dt equals the dissipation
+    # rate exactly, so the time-integrated dissipation series must equal
+    # the kinetic-energy drop computed independently from the velocity
+    # field.  This pins the whole curve, not just its trend.
+    eps_int = sum(0.5 * dt * (rates[i] + rates[i + 1])
+                  for i in range(n_steps))
+    dE = energies[-1] - energies[0]
+    assert dE < 0.0
+    assert abs(dE + eps_int) < 0.05 * abs(dE), (dE, eps_int)
 
     # velocity divergence at machine precision (direct solves;
     # taylor-green-3d.py:153-160)
-    div_err = float(spline.assemble_functional(
-        lambda ctx, u: piola_div(ctx, u) ** 2, U=timeInt.x_old))
     assert div_err < 1e-20
+
+
+def test_taylor_green_3d_dissipation_curve_converges():
+    """The dissipation-rate series converges under mesh refinement: the
+    coarse curve tracks the finer (reference-quality) curve pointwise.
+    This replaces the reference's visual gnuplot comparison against the
+    Evans-dissertation figure (taylor-green-3d.py:25-36,151-166) with a
+    self-contained quantitative assertion; the t=0 value is additionally
+    pinned to the analytic 3 nu / 4 in test_taylor_green_3d_rt."""
+    n_steps = 3
+    dt = 1.0 / 12.0
+    r6, _, _ = run_tg3_rt(6, n_steps, dt)
+    r8, _, _ = run_tg3_rt(8, n_steps, dt)
+    for a, b in zip(r6, r8):
+        assert abs(a - b) < 0.04 * b, (r6, r8)
 
 
 def make_n_spline():

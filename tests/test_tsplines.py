@@ -133,3 +133,107 @@ def test_dynamic_tspline_shell_contact(tmp_path):
     # penetrating significantly below z = 0
     assert min(min_z) < z0 - 5e-3   # it moved down
     assert min(min_z) > -5e-3, min_z  # penalty contact held
+
+
+# -- genuinely ragged T-splines (extraordinary-point analog) ---------------------
+# VERDICT round-1 item 5: elements with varying nshl must flow through the
+# padded-mask pipeline with correct basis values, and shell dynamics must
+# complete on ragged data read from a FILE (RhinoTSplines.py:93-97: ragged
+# nshl is the format's defining feature).
+
+def make_ragged_file(tmp_path, nel=6):
+    """Export a bi-cubic patch, then merge a 2x2 block of interior control
+    points into one node (summing extraction rows preserves partition of
+    unity -- the same mechanism by which extraordinary points reduce the
+    local function count), and write the RAGGED extraction file."""
+    from tigar_tpu.models.tsplines import (merge_extraction_nodes,
+                                           write_rhino_extraction,
+                                           _parse_tspline_file)
+    basis, bnet = make_cubic_patch(nel=nel, z_amp=0.05)
+    fname0 = str(tmp_path / "regular.iga")
+    bspline_to_rhino_extraction(basis, bnet, fname0)
+    bnet_h, nodes_list, ops_list = _parse_tspline_file(fname0)
+
+    M = basis.kvs[0].ncp
+    block = [2 * M + 2, 2 * M + 3, 3 * M + 2, 3 * M + 3]
+    node_map = {block[1]: block[0], block[2]: block[0], block[3]: block[0]}
+    nodes_list, ops_list, ncp, used = merge_extraction_nodes(
+        nodes_list, ops_list, node_map)
+    # merged control net: keep surviving points, averaging the merged block
+    bnet_new = bnet_h[used]
+    merged_pos = bnet_h[block].mean(axis=0)
+    new_idx = used.index(block[0])
+    bnet_new[new_idx] = merged_pos
+
+    fname = str(tmp_path / "ragged.iga")
+    write_rhino_extraction(fname, bnet_new, nodes_list, ops_list)
+    return fname, ncp
+
+
+def test_ragged_extraordinary_point_pou(tmp_path):
+    fname, ncp = make_ragged_file(tmp_path)
+    ts = TSplineBasis.from_file(fname)
+    assert ts.ncp == ncp
+    nshls = [C.shape[0] for C in ts.ops_list]
+    assert ts.max_nshl == 16
+    assert min(nshls) < 16 and len(set(nshls)) > 1, nshls
+    # partition of unity and zero gradient-sum through the MASK path
+    tab = ts.tabulate(4, 2)
+    N = np.asarray(tab.N) * np.asarray(tab.mask)[:, None, :]
+    assert np.allclose(N.sum(axis=2), 1.0, atol=1e-11)
+    dN = np.asarray(tab.dN) * np.asarray(tab.mask)[:, None, :, None]
+    assert np.allclose(dN.sum(axis=2), 0.0, atol=1e-10)
+    # pointwise evaluation of constant coefficients through evaluate()
+    ones = np.ones(ts.ncp)
+    for e in (0, 4, ts.nel - 1):
+        v = ts.evaluate(ones, np.asarray([[0.3, -0.2], [1.0, 1.0]]),
+                        element=e)
+        assert np.allclose(v, 1.0, atol=1e-11)
+
+
+def test_ragged_shell_dynamics_completes(tmp_path):
+    """Reduced dynamic_tspline.py on genuinely ragged extraction data:
+    SVK Kirchhoff-Love shell, generalized-alpha, plate penalty contact."""
+    fname, _ = make_ragged_file(tmp_path)
+    cm = RhinoTSplineControlMesh(fname)
+    ts = cm.scalar_basis()
+    assert min(C.shape[0] for C in ts.ops_list) < ts.max_nshl
+    gen = EqualOrderSpline(3, cm)
+    eps = 1e-9
+    where = lambda x: (x[0] < eps or x[0] > 1 - eps
+                       or x[1] < eps or x[1] > 1 - eps)
+    for i in range(3):
+        gen.add_zero_dofs_by_location(where, i)
+    spline = ExtractedSpline(gen, quad_degree=6, nders=2)
+    spline.set_solver_options(max_iters=100, relative_tolerance=1e-3)
+
+    E_mod, nu, h_th = 3.0e4, 0.3, 0.03
+    DENS, PENALTY, DELTA_T = 10.0, 1.0e8, 1.0e-3
+    U0 = jnp.zeros(spline.ndof, dtype=spline.dtype)
+    Udot0 = U0.at[spline.space.field_slice(2)].set(-10.0)
+    timeInt = GeneralizedAlphaIntegrator(0.5, DELTA_T, U0,
+                                         (U0, Udot0, jnp.zeros_like(U0)))
+
+    def res(ctx, s, z):
+        y_alpha = ctx.rationalize(timeInt.x_alpha_of(s))
+        yddot_alpha = ctx.rationalize(timeInt.xddot_alpha_of(s))
+        zz = ctx.rationalize(z)
+        dWint = deriv(lambda y: svk_psi_surface(ctx, y, E_mod, nu, h_th),
+                      y_alpha, zz)
+        dWmass = DENS * h_th * jnp.sum(yddot_alpha.val * zz.val)
+        xz = ctx.x[2] + y_alpha.val[2]
+        gap = jnp.where(xz < 0.0, -xz, 0.0)
+        dWext = -PENALTY * gap * zz.val[2]
+        return dWmass + dWint + dWext
+
+    for step in range(2):
+        state = {"u": timeInt.x, "x_old": timeInt.x_old,
+                 "xdot_old": timeInt.xdot_old,
+                 "xddot_old": timeInt.xddot_old}
+        timeInt.x = spline.solve_nonlinear_variational_problem(res, U0=state)
+        timeInt.advance()
+    assert np.all(np.isfinite(np.asarray(timeInt.x_old)))
+    # the plate fell: mean vertical displacement is negative
+    w_mean = float(np.mean(np.asarray(
+        timeInt.x_old[spline.space.field_slice(2)])))
+    assert w_mean < 0.0

@@ -43,11 +43,17 @@ class PointContact:
     FE-node quadrature, reef-knot.py:139-146).
     """
 
-    def __init__(self, spline, k, r_max, r_self, phi=None):
+    def __init__(self, spline, k, r_max, r_self, phi=None, row_chunk=None):
+        """``row_chunk``: process the all-pairs interaction in row blocks of
+        this size (lax.map + rematerialization), bounding peak memory to
+        O(row_chunk * n) instead of O(n^2) -- the scaling knob for the
+        reference workload class of ~10^4 collocation points
+        (reef-knot.py:157-269).  Default: 2048 rows when n > 4096."""
         self.spline = spline
         self.r_max = float(r_max)
         self.r_self = float(r_self)
         self.phi = pair_penalty_energy(k, r_max) if phi is None else phi
+        self.row_chunk = row_chunk
 
         space = spline.space
         basis = space.fields[0]
@@ -101,11 +107,14 @@ class PointContact:
         W = spline.assemble_vector(Lones, apply_bcs=False)
         self.quad_w = W[space.field_slice(0)]
 
-        # static reference-distance exclusion mask (R_self and self-pairs)
+        # static reference-distance exclusion mask (R_self and self-pairs),
+        # stored as bool (n^2 bytes, not n^2 doubles: 10^4 points -> 100 MB)
         Xn = np.asarray(self.X)
         R = np.linalg.norm(Xn[:, None, :] - Xn[None, :, :], axis=-1)
-        mask = (R > self.r_self).astype(float)
-        self.pair_mask = jnp.asarray(mask, dtype=spline.dtype)
+        self.pair_mask = jnp.asarray(R > self.r_self)
+
+        if self.row_chunk is None and n > 4096:
+            self.row_chunk = 2048
 
         self._offsets = [int(space.offsets[f]) for f in range(self.nsd)]
 
@@ -123,21 +132,73 @@ class PointContact:
 
     def energy(self, U):
         x = self.positions(U)
-        diff = x[:, None, :] - x[None, :, :]
-        r2 = jnp.sum(diff * diff, axis=-1)
-        # keep sqrt differentiable: masked entries get a dummy distance
-        safe = jnp.where(self.pair_mask > 0, r2, 1.0 + self.r_max ** 2)
-        r = jnp.sqrt(safe)
-        C = self.quad_w[:, None] * self.quad_w[None, :]
-        E = 0.5 * jnp.sum(self.pair_mask * C * self.phi(r))
-        return E
+        dtype = x.dtype
+        n = x.shape[0]
+
+        def row_energy(args):
+            """Pair energy of one collocation point against all points."""
+            xi, wi, mi = args  # [nsd], [], [n] bool
+            diff = xi[None, :] - x
+            r2 = jnp.sum(diff * diff, axis=-1)
+            # keep sqrt differentiable: masked entries get a dummy distance
+            safe = jnp.where(mi, r2, 1.0 + self.r_max ** 2)
+            r = jnp.sqrt(safe)
+            live = mi.astype(dtype)
+            return 0.5 * wi * jnp.sum(live * self.quad_w * self.phi(r))
+
+        xs = (x, self.quad_w, self.pair_mask)
+        chunk = self.row_chunk
+        if chunk is None or chunk >= n:
+            parts = jax.vmap(row_energy)(xs)
+        else:
+            # row-blocked with rematerialization: peak memory O(chunk * n)
+            parts = jax.lax.map(jax.checkpoint(row_energy), xs,
+                                batch_size=chunk)
+        return jnp.sum(parts)
 
     def residual(self, U):
         """Contact contribution to the residual (gradient of the energy) --
-        the AD-exact analog of reef-knot.py's (24) force assembly."""
-        return jax.grad(self.energy)(U)
+        the AD-exact analog of reef-knot.py's (24) force assembly.
+        Jit-compiled with ``self`` as a pytree argument (arrays are runtime
+        buffers, never trace-embedded constants)."""
+        return _contact_residual(self, U)
 
     def tangent_action(self, U, W):
         """Action of the contact tangent (reference formulas (25)-(26),
-        reef-knot.py:241-265) via HVP."""
-        return jax.jvp(self.residual, (U,), (W,))[1]
+        reef-knot.py:241-265) via HVP; jit-compiled."""
+        return _contact_tangent(self, U, W)
+
+    # -- pytree protocol ---------------------------------------------------------
+
+    def tree_flatten(self):
+        children = (self.conn, self.vals, self.X, self.w_ctrl, self.quad_w,
+                    self.pair_mask)
+        aux = (self.spline, self.phi, self.r_max, self.r_self,
+               self.row_chunk, self.nsd, tuple(self._offsets))
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.conn, obj.vals, obj.X, obj.w_ctrl, obj.quad_w,
+         obj.pair_mask) = children
+        (obj.spline, obj.phi, obj.r_max, obj.r_self, obj.row_chunk,
+         obj.nsd, offsets) = aux
+        obj._offsets = list(offsets)
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    PointContact,
+    lambda c: c.tree_flatten(),
+    PointContact.tree_unflatten)
+
+
+@jax.jit
+def _contact_residual(contact, U):
+    return jax.grad(contact.energy)(U)
+
+
+@jax.jit
+def _contact_tangent(contact, U, W):
+    return jax.jvp(lambda a: jax.grad(contact.energy)(a), (U,), (W,))[1]

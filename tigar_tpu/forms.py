@@ -132,6 +132,12 @@ class QP(NamedTuple):
     nref: Optional[Any] = None
     normal: Optional[Any] = None
     surfJ: Optional[Any] = None
+    aux: Optional[Any] = None
+    """Optional dict of precomputed per-point quantities attached by
+    model-specific preprocessors (e.g. the Kirchhoff-Love reference-surface
+    frame from models/shell.py precompute_shell_reference) -- geometry-only
+    work hoisted out of the per-assembly density, which matters on TPU
+    where f64 sqrt/div emulation dominates pointwise densities."""
 
     # ---- differential operators (physical space) --------------------------
 

@@ -47,6 +47,34 @@ from .space import SplineSpace
 DEFAULT_DENSE_THRESHOLD = 4096
 
 
+class FormTerm:
+    """One term of a form with per-term measure options (the reference's
+    tIGArMeasure semantics, calculusUtils.py:351-410):
+
+    density     : pointwise density callable
+    quad_degree : per-term quadrature degree override (reference sets
+                  quadrature_degree per measure, calculusUtils.py:379-381)
+    where       : optional subdomain predicate fn(ctx) -> bool evaluated at
+                  quadrature points; the term is integrated only where it
+                  holds (reference: marked measure subdomains,
+                  calculusUtils.py:397-404 + MeshFunction markers,
+                  common.py:905-915).
+    """
+
+    __slots__ = ("density", "quad_degree", "where")
+
+    def __init__(self, density, quad_degree=None, where=None):
+        self.density = density
+        self.quad_degree = None if quad_degree is None else int(quad_degree)
+        self.where = where
+
+
+def term(density, quad_degree=None, where=None):
+    """Wrap a density with per-term measure options; use as a form-dict
+    value: {"dx": term(f, quad_degree=8), ("ds", 0, 1): term(g, where=p)}."""
+    return FormTerm(density, quad_degree=quad_degree, where=where)
+
+
 def _get_unknown(U):
     return U["u"] if isinstance(U, dict) else U
 
@@ -100,6 +128,7 @@ class ExtractedSpline:
         self._tab_cache = {}
         self._assemblers = {}
         self._jit_cache = {}
+        self._where_cache = {}
         self.mask = jnp.asarray(space.bc_mask(), dtype=self.dtype)
 
         # solver options (reference: setSolverOptions, common.py:1292-1302)
@@ -133,27 +162,32 @@ class ExtractedSpline:
 
     # -- tabulation / assembler construction ------------------------------------
 
-    def _field_tab(self, basis, domain, nders=None):
+    def _field_tab(self, basis, domain, nders=None, npts=None):
         nders = self.nders if nders is None else nders
-        key = (id(basis), domain, nders)
+        npts = self.npts if npts is None else npts
+        key = (id(basis), domain, nders, npts)
         if key not in self._tab_cache:
             if domain == "dx":
-                self._tab_cache[key] = basis.tabulate(self.npts, nders)
+                self._tab_cache[key] = basis.tabulate(npts, nders)
             else:
                 _, direction, side = domain
                 self._tab_cache[key] = basis.tabulate_boundary(
-                    self.npts, nders, direction, side)
+                    npts, nders, direction, side)
         return self._tab_cache[key]
 
-    def _assembler(self, domain) -> DomainAssembler:
-        if domain not in self._assemblers:
+    def _assembler(self, domain, quad_degree=None) -> DomainAssembler:
+        npts = self.npts if quad_degree is None else \
+            npoints_for_degree(quad_degree)
+        akey = (domain, npts)
+        if akey not in self._assemblers:
             ctrl_tab = self._field_tab(self.control_basis, domain,
-                                       nders=self.geom_nders)
+                                       nders=self.geom_nders, npts=npts)
             geom = precompute_geometry(ctrl_tab, self.bnet)
             qw = jnp.asarray(ctrl_tab.qw, dtype=self.dtype)
             jac = geom.sqrtJ if domain == "dx" else geom.surfJ
             scale = qw * jac
-            tabs = [self._field_tab(f, domain) for f in self.space.fields]
+            tabs = [self._field_tab(f, domain, npts=npts)
+                    for f in self.space.fields]
             nel = scale.shape[0]
             chunk = self.assembly_chunk
             if chunk is None:
@@ -163,30 +197,61 @@ class ExtractedSpline:
                          and nel > DEFAULT_ASSEMBLY_CHUNK else None)
             elif not chunk:
                 chunk = None
-            self._assemblers[domain] = DomainAssembler(
+            self._assemblers[akey] = DomainAssembler(
                 tabs, self.space.offsets, self.ndof, geom, scale,
                 chunk=chunk)
-        return self._assemblers[domain]
+        return self._assemblers[akey]
 
     def _terms(self, form):
-        """Normalize a form into [(domain, density)].  A bare callable means
-        a volume ("dx") term; a dict may use keys "dx", ("ds", dir, side),
-        or "ds" (all boundary sides)."""
+        """Normalize a form into [(domain, FormTerm)].  A bare callable
+        means a volume ("dx") term; a dict may use keys "dx",
+        ("ds", dir, side), or "ds" (all boundary sides); values are
+        densities or ``term(density, quad_degree=..., where=...)``."""
         if callable(form):
-            return [("dx", form)]
+            return [("dx", FormTerm(form))]
         terms = []
-        for key, density in form.items():
+        for key, val in form.items():
+            t = val if isinstance(val, FormTerm) else FormTerm(val)
             if key == "ds":
                 for direction in range(self.dim):
                     for side in (0, 1):
-                        terms.append((("ds", direction, side), density))
+                        terms.append((("ds", direction, side), t))
+            elif isinstance(key, tuple) and key[0] == "ds" and len(key) > 3:
+                # ("ds", dir, side, tag): tagged key allowing several terms
+                # on one boundary domain (e.g. different subdomain masks)
+                terms.append((key[:3], t))
             else:
-                terms.append((key, density))
+                terms.append((key, t))
         return terms
 
+    def _masked_density(self, t: FormTerm):
+        """Stable (cached) density callable with the subdomain predicate
+        folded in; stability matters because jit kernels are cached by
+        density id."""
+        if t.where is None:
+            return t.density
+        wkey = (id(t.density), id(t.where))
+        entry = self._where_cache.get(wkey)
+        if entry is None:
+            density, where = t.density, t.where
+
+            def wrapped(ctx, *args):
+                ind = jnp.where(where(ctx), 1.0, 0.0)
+                return ind * density(ctx, *args)
+
+            entry = (wrapped, density, where)  # keep refs alive (id keys)
+            self._where_cache[wkey] = entry
+        return entry[0]
+
     def _form_key(self, form):
+        """Returns (hashable key, [(assembler, density)], terms)."""
         terms = self._terms(form)
-        return tuple((str(d), id(fn)) for d, fn in terms), terms
+        key = tuple((str(d), id(t.density), t.quad_degree,
+                     None if t.where is None else id(t.where))
+                    for d, t in terms)
+        pairs = [(self._assembler(d, t.quad_degree), self._masked_density(t))
+                 for d, t in terms]
+        return key, terms, pairs
 
     def _jitted(self, key, terms, builder):
         """Cache of jitted assembly kernels.  ``terms`` is stored alongside
@@ -209,9 +274,9 @@ class ExtractedSpline:
     def assemble_functional(self, form, U=None, params=None):
         """Integrate a scalar density over the domain (errors, energies,
         dissipation rates...)."""
-        fkey, terms = self._form_key(form)
-        asms = [self._assembler(d) for d, _ in terms]
-        densities = [fn for _, fn in terms]
+        fkey, terms, pairs = self._form_key(form)
+        asms = [a for a, _ in pairs]
+        densities = [fn for _, fn in pairs]
         key = ("fun", fkey, U is None, params is None)
 
         def builder():
@@ -228,9 +293,9 @@ class ExtractedSpline:
         """Assemble a linear form L(ctx, v) (U=None) or residual
         res(ctx, u, v) at state U (reference: assembleVector,
         common.py:1162-1173)."""
-        fkey, terms = self._form_key(form)
-        asms = [self._assembler(d) for d, _ in terms]
-        densities = [fn for _, fn in terms]
+        fkey, terms, pairs = self._form_key(form)
+        asms = [a for a, _ in pairs]
+        densities = [fn for _, fn in pairs]
         key = ("vec", fkey, U is None, bool(apply_bcs), params is None)
 
         def builder():
@@ -252,9 +317,9 @@ class ExtractedSpline:
                        params=None):
         """Action of the tangent dR/d(unknown) at U on W -- the matrix-free
         MᵀAM product."""
-        fkey, terms = self._form_key(form)
-        asms = [self._assembler(d) for d, _ in terms]
-        densities = [fn for _, fn in terms]
+        fkey, terms, pairs = self._form_key(form)
+        asms = [a for a, _ in pairs]
+        densities = [fn for _, fn in pairs]
         ukey = tuple(sorted(U.keys())) if isinstance(U, dict) else None
         key = ("act", fkey, ukey, bool(apply_bcs), params is None)
 
@@ -300,9 +365,9 @@ class ExtractedSpline:
         common.py:1176-1220)."""
         if U is None:
             U = jnp.zeros(self.ndof, dtype=self.dtype)
-        fkey, terms = self._form_key(form)
-        asms = [self._assembler(d) for d, _ in terms]
-        densities = [fn for _, fn in terms]
+        fkey, terms, pairs = self._form_key(form)
+        asms = [a for a, _ in pairs]
+        densities = [fn for _, fn in pairs]
         ukey = tuple(sorted(U.keys())) if isinstance(U, dict) else None
         key = ("mat", fkey, ukey, bool(apply_bcs), params is None)
 
@@ -331,10 +396,9 @@ class ExtractedSpline:
         from jax.experimental import sparse as jsparse
         if U is None:
             U = jnp.zeros(self.ndof, dtype=self.dtype)
-        _, terms = self._form_key(form)
+        _, terms, pairs = self._form_key(form)
         M = None
-        for domain, density in terms:
-            asm = self._assembler(domain)
+        for asm, density in pairs:
             A_e = asm.element_matrices(density, U, params=params)
             if apply_bcs:
                 me = self.mask[asm.cat_conn]  # [nel, nloc]
@@ -355,9 +419,9 @@ class ExtractedSpline:
         """Diagonal of the tangent (Jacobi preconditioner)."""
         if U is None:
             U = jnp.zeros(self.ndof, dtype=self.dtype)
-        fkey, terms = self._form_key(form)
-        asms = [self._assembler(d) for d, _ in terms]
-        densities = [fn for _, fn in terms]
+        fkey, terms, pairs = self._form_key(form)
+        asms = [a for a, _ in pairs]
+        densities = [fn for _, fn in pairs]
         ukey = tuple(sorted(U.keys())) if isinstance(U, dict) else None
         key = ("diag", fkey, ukey, bool(apply_bcs), params is None)
 
@@ -403,9 +467,26 @@ class ExtractedSpline:
         diag = self.assemble_diagonal(form, U=U, params=params,
                                       apply_bcs=apply_bcs)
 
-        fkey, terms = self._form_key(form)
-        asms = [self._assembler(d) for d, _ in terms]
-        densities = [fn for _, fn in terms]
+        if method.startswith("sparse_"):
+            # Assemble the BCOO tangent ONCE, reuse it for every Krylov
+            # matvec.  Each matvec costs O(nse) instead of a full
+            # re-assembly JVP, so this wins whenever the iteration count
+            # outweighs the one-time assembly (measured crossover at ~5-10
+            # iterations for 3D p=2 Poisson; see
+            # tests/test_sparse_solver.py).  Reference analog: the
+            # explicit MatPtAP product fed to PETSc KSP
+            # (common.py:1176-1263).
+            M_sp = self.assemble_sparse(form, U=U, params=params,
+                                        apply_bcs=apply_bcs)
+            Mpre = jacobi_preconditioner(diag)
+            return solve_krylov(lambda W: M_sp @ W, rhs,
+                                method=method[len("sparse_"):],
+                                tol=self.linear_tol,
+                                maxiter=self.linear_max_iter, M=Mpre)
+
+        fkey, terms, pairs = self._form_key(form)
+        asms = [a for a, _ in pairs]
+        densities = [fn for _, fn in pairs]
         ukey = tuple(sorted(U.keys())) if isinstance(U, dict) else None
         key = ("kry", fkey, ukey, method, self.linear_tol,
                self.linear_max_iter, bool(apply_bcs), params is None)

@@ -156,6 +156,56 @@ def kl_strain_at(ctx, y, xi2):
     return tensor_to_cartesian(E_flat, G, G0, G1)
 
 
+class ShellReference(NamedTuple):
+    """Geometry-only Kirchhoff-Love reference data at one quadrature point,
+    precomputable once per spline (see precompute_shell_reference): the
+    reference metric/curvature and the curvilinear-to-local-Cartesian
+    transformation matrix.  Hoisting this out of the density removes the
+    reference-side cross products, normalizations (sqrt/div), and the 2x2
+    frame inverse from EVERY assembly/AD evaluation -- the dominant f64
+    emulation cost on TPU."""
+    a: Any    # [2,2] reference midsurface metric
+    b: Any    # [2,2] reference curvature
+    ea: Any   # [2,2] covariant -> local-Cartesian transformation
+
+
+def cartesian_frame_matrix(a, a0, a1):
+    """The (e_i . a^j) matrix of tensor_to_cartesian as a reusable value."""
+    ac = inv_small(a)
+    a0c = ac[0, 0] * a0 + ac[0, 1] * a1
+    a1c = ac[1, 0] * a0 + ac[1, 1] * a1
+    e0, e1 = local_cartesian_basis(a0, a1)
+    return jnp.asarray([[jnp.dot(e0, a0c), jnp.dot(e0, a1c)],
+                        [jnp.dot(e1, a0c), jnp.dot(e1, a1c)]])
+
+
+def shell_reference(ctx):
+    """ShellReference of the reference configuration at one point."""
+    ref = midsurface_geometry(ctx)
+    return ShellReference(a=ref.a, b=ref.b,
+                          ea=cartesian_frame_matrix(ref.a, ref.a0, ref.a1))
+
+
+def precompute_shell_reference(spline, domain="dx"):
+    """Attach precomputed ShellReference data to the spline's assembler
+    ctx (under ``ctx.aux['shell_ref']``); subsequent svk_psi_surface
+    evaluations skip all reference-side geometry work.  Call once after
+    constructing the ExtractedSpline (nders=2)."""
+    for quad_key in list(spline._assemblers.keys()):
+        if quad_key[0] != domain:
+            continue
+        asm = spline._assemblers[quad_key]
+        fn = jax.vmap(shell_reference)
+        if asm.ctx.x.ndim == 3:   # [nel, nq, ...] generic layout
+            fn = jax.vmap(fn)
+        ref = jax.jit(fn)(asm.ctx)
+        aux = dict(asm.ctx.aux or {})
+        aux["shell_ref"] = ref
+        asm.ctx = asm.ctx._replace(aux=aux)
+    spline._jit_cache.clear()
+    return spline
+
+
 def svk_psi_surface(ctx, y, E_mod, nu, h_th):
     """St. Venant-Kirchhoff Kirchhoff-Love shell energy per unit reference
     midsurface area, integrated analytically through the thickness
@@ -164,13 +214,22 @@ def svk_psi_surface(ctx, y, E_mod, nu, h_th):
     Uses the local-Cartesian membrane strain epsilon and curvature change
     kappa; psi = 1/2 (h A : eps : eps + h^3/12 A : kappa : kappa) with the
     plane-stress elasticity tensor A.
+
+    If ``ctx.aux['shell_ref']`` is present (precompute_shell_reference),
+    the reference-configuration geometry is read instead of recomputed.
     """
-    ref = midsurface_geometry(ctx)
+    if ctx.aux is not None and "shell_ref" in ctx.aux:
+        sref = ctx.aux["shell_ref"]
+        ref_a, ref_b, ea = sref.a, sref.b, sref.ea
+    else:
+        ref = midsurface_geometry(ctx)
+        ref_a, ref_b = ref.a, ref.b
+        ea = cartesian_frame_matrix(ref.a, ref.a0, ref.a1)
     cur = midsurface_geometry(ctx, y)
-    eps_flat = 0.5 * (cur.a - ref.a)
-    kappa_flat = cur.b - ref.b
-    eps = tensor_to_cartesian(eps_flat, ref.a, ref.a0, ref.a1)
-    kappa = tensor_to_cartesian(kappa_flat, ref.a, ref.a0, ref.a1)
+    eps_flat = 0.5 * (cur.a - ref_a)
+    kappa_flat = cur.b - ref_b
+    eps = ea @ eps_flat @ ea.T
+    kappa = ea @ kappa_flat @ ea.T
 
     lam_ps = E_mod * nu / (1.0 - nu ** 2)  # plane-stress lambda
     mu = E_mod / (2.0 * (1.0 + nu))

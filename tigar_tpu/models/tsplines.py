@@ -195,6 +195,40 @@ class RhinoTSplineControlMesh(ControlMesh):
         return self._bnet
 
 
+def merge_extraction_nodes(nodes_list, ops_list, node_map):
+    """Merge T-spline functions by identifying nodes: every node index is
+    mapped through ``node_map`` (old -> new global index, not necessarily
+    dense); functions of one element that land on the same new node have
+    their extraction rows SUMMED.  Row-summing preserves partition of unity
+    and produces genuinely RAGGED per-element function counts -- the
+    defining feature of extraordinary points in the Rhino format
+    (RhinoTSplines.py:93-97, where nshl varies per element).
+
+    Returns (nodes_list, ops_list, ncp) with dense renumbered nodes.
+    """
+    node_map = {int(k): int(v) for k, v in node_map.items()}
+    new_nodes_list, new_ops_list = [], []
+    seen = {}
+    for nodes, C in zip(nodes_list, ops_list):
+        mapped = [node_map.get(int(n), int(n)) for n in nodes]
+        uniq = []
+        rows = {}
+        for a, n in enumerate(mapped):
+            if n not in rows:
+                rows[n] = np.zeros(C.shape[1])
+                uniq.append(n)
+            rows[n] = rows[n] + C[a]
+        new_nodes_list.append(np.asarray(uniq, dtype=np.int64))
+        new_ops_list.append(np.stack([rows[n] for n in uniq]))
+    # dense renumbering over the union of used node ids
+    used = sorted({int(n) for nodes in new_nodes_list for n in nodes})
+    renum = {n: i for i, n in enumerate(used)}
+    new_nodes_list = [np.asarray([renum[int(n)] for n in nodes],
+                                 dtype=np.int64)
+                      for nodes in new_nodes_list]
+    return new_nodes_list, new_ops_list, len(used), used
+
+
 def bspline_to_rhino_extraction(basis, bnet, fname):
     """Export a bi-cubic tensor-product B-spline patch as a Rhino-format
     T-spline extraction file (element-by-element Bezier operators).  Useful
@@ -234,13 +268,7 @@ def bspline_to_rhino_extraction(basis, bnet, fname):
     nodes_v = basis.kvs[1].element_nodes()
     M = basis.kvs[0].ncp
 
-    lines = ["tspline-extraction (generated by tigar_tpu)",
-             f"nodeN {basis.ncp}",
-             f"elemN {basis.nel}"]
-    x = bnet[:, :3] / bnet[:, 3:4]
-    for i in range(basis.ncp):
-        lines.append("n %.17g %.17g %.17g %.17g"
-                     % (x[i, 0], x[i, 1], x[i, 2], bnet[i, 3]))
+    nodes_list, ops_list = [], []
     # element flattening: dir-0 fastest (matches TensorBSplineBasis)
     for ev in range(basis.kvs[1].nel):
         for eu in range(basis.kvs[0].nel):
@@ -250,9 +278,33 @@ def bspline_to_rhino_extraction(basis, bnet, fname):
             # C[a, b] = ops_u[i, k] * ops_v[j, l]
             C = np.einsum("ik,jl->jilk", ops_u[eu],
                           ops_v[ev]).reshape(16, 16)
-            lines.append(f"e {16}")
-            lines.append(" ".join(str(n) for n in nodes))
-            for a in range(16):
-                lines.append(" ".join("%.17g" % c for c in C[a]))
+            nodes_list.append(np.asarray(nodes, dtype=np.int64))
+            ops_list.append(C)
+    write_rhino_extraction(fname, bnet, nodes_list, ops_list)
+
+
+def write_rhino_extraction(fname, bnet, nodes_list, ops_list):
+    """Write element-by-element Bezier extraction in the Rhino T-spline
+    format (the format _parse_tspline_file reads; ragged per-element
+    function counts are fully supported, RhinoTSplines.py:93-97).
+
+    bnet : [ncp, 4] homogeneous control points (w*x, w)
+    """
+    bnet = np.asarray(bnet)
+    lines = ["tspline-extraction (generated by tigar_tpu)",
+             f"nodeN {bnet.shape[0]}",
+             f"elemN {len(nodes_list)}"]
+    x = bnet[:, :3] / bnet[:, 3:4]
+    for i in range(bnet.shape[0]):
+        lines.append("n %.17g %.17g %.17g %.17g"
+                     % (x[i, 0], x[i, 1], x[i, 2], bnet[i, 3]))
+    for nodes, C in zip(nodes_list, ops_list):
+        nshl = len(nodes)
+        if C.shape != (nshl, 16):
+            raise ValueError("extraction operator must be [nshl, 16]")
+        lines.append(f"e {nshl}")
+        lines.append(" ".join(str(int(n)) for n in nodes))
+        for a in range(nshl):
+            lines.append(" ".join("%.17g" % c for c in C[a]))
     with open(fname, "w") as f:
         f.write("\n".join(lines) + "\n")

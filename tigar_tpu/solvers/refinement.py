@@ -4,7 +4,7 @@ TPUs have no native float64; XLA emulates it at ~5-10x cost.  The
 verification targets (<=1e-10 relative L2) need f64 *accuracy*, but not f64
 *arithmetic everywhere*: classical iterative refinement runs the inner
 Krylov solve in fast float32 (e.g. the fused fast-path operators of
-ops/pallas_kernels.py) and only the outer residual in float64, converging
+ops/fastpath.py, ops/sumfac.py) and only the outer residual in float64, converging
 to full f64 backward accuracy as long as the f32 solves reduce the error by
 a constant factor per sweep.
 """
