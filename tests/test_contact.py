@@ -138,6 +138,68 @@ def test_membrane_contact_equilibrium():
     assert np.all(np.isfinite(np.asarray(U)))
 
 
+def test_matrix_free_combined_newton_matches_dense():
+    """The reef demo's production path: combined shell+contact Newton with
+    the tangent applied only as an action (shell JVP + contact HVP) inside
+    Jacobi-CG -- no dense ndof^2 object anywhere (reef-knot.py:440-482
+    class, scalable to ~10^4 collocation points).  Must land on the same
+    equilibrium as the dense direct solve."""
+    from tigar_tpu.solvers.linear import cg_fixed_iters, \
+        jacobi_preconditioner
+
+    p, nel = 2, 5
+    cm = ExplicitBSplineControlMesh(
+        [p, p], [uniform_knots(p, 0.0, 1.0, nel)] * 2, extra_dim=1)
+    sp = EqualOrderSpline(3, cm)
+    basis = cm.scalar_basis()
+    for d in (0, 1):
+        for s in (0, 1):
+            dofs = basis.side_dofs(d, s, n_layers=1)
+            for i in range(3):
+                sp.add_zero_dofs(i, dofs)
+    spline = ExtractedSpline(sp, quad_degree=4, nders=2)
+    E_mod, nu, h_th, q = 1e5, 0.3, 0.05, -2.0
+
+    def res(ctx, u, v):
+        dWint = deriv(lambda y: svk_psi_surface(ctx, y, E_mod, nu, h_th),
+                      u, v)
+        return dWint - q * v.val[2]
+
+    contact = PointContact(spline, k=1e6, r_max=0.04, r_self=0.3)
+    mask = spline.mask
+
+    def newton(solve_lin):
+        U = jnp.zeros(spline.ndof, dtype=spline.dtype)
+        n0 = None
+        for _ in range(50):
+            r = spline.assemble_vector(res, U=U) + mask * contact.residual(U)
+            nrm = float(jnp.linalg.norm(r))
+            n0 = nrm if n0 is None else n0
+            if nrm / n0 < 1e-9:
+                return U
+            U = U - solve_lin(U, r)
+        raise AssertionError("Newton failed to converge")
+
+    def dense(U, r):
+        A = spline.assemble_matrix(res, U=U)
+        Kc = jax.jacfwd(lambda uu: mask * contact.residual(uu))(U)
+        return jnp.linalg.solve(A + Kc, r)
+
+    def matfree(U, r):
+        def A_op(W):
+            return (spline.tangent_action(res, U, W)
+                    + mask * contact.tangent_action(U, mask * W))
+        M = jacobi_preconditioner(spline.assemble_diagonal(res, U=U))
+        dU, _ = cg_fixed_iters(A_op, r, 400, M=M)
+        return dU
+
+    U_dense = newton(dense)
+    U_free = newton(matfree)
+    scale = float(jnp.max(jnp.abs(U_dense)))
+    assert scale > 0.0
+    assert float(jnp.max(jnp.abs(U_dense - U_free))) < 1e-6 * scale
+
+
 def test_row_chunked_contact_matches_unchunked():
     """Row-chunked (rematerialized) all-pairs contact must match the
     unchunked path exactly for energy, residual (grad), and tangent action
