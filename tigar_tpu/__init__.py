@@ -46,6 +46,8 @@ from .ops.sumfac import (make_sumfac_operator,  # noqa: F401
                          make_sumfac_identity_operator,
                          sumfac_linear_form, sumfac_l2_error)
 from .solvers.refinement import refine_solve  # noqa: F401
+from .solvers.multigrid import (Multigrid, coarsen_knots,  # noqa: F401
+                                insertion_matrix_1d)
 from .solvers.eigen import (generalized_eigh, smallest_modes,  # noqa: F401
                             lobpcg_smallest)
 

@@ -138,6 +138,10 @@ class ExtractedSpline:
         self.linear_tol = 1e-12
         self.linear_max_iter = None
         self.dense_threshold = DEFAULT_DENSE_THRESHOLD
+        self.mg_levels = None           # coarser splines for "mg_cg"
+        self.mg_smooth = 2
+        self.mg_omega = 0.7
+        self._mg_cache = {}
 
         # eagerly build the volume assembler
         self._assembler("dx")
@@ -146,7 +150,8 @@ class ExtractedSpline:
 
     def set_solver_options(self, max_iters=None, relative_tolerance=None,
                            linear_solver=None, linear_tol=None,
-                           linear_max_iter=None, dense_threshold=None):
+                           linear_max_iter=None, dense_threshold=None,
+                           mg_levels=None, mg_smooth=None, mg_omega=None):
         if max_iters is not None:
             self.max_iters = max_iters
         if relative_tolerance is not None:
@@ -159,6 +164,15 @@ class ExtractedSpline:
             self.linear_max_iter = linear_max_iter
         if dense_threshold is not None:
             self.dense_threshold = dense_threshold
+        if mg_levels is not None:
+            # coarser ExtractedSplines (same form/BCs, nested knots) for
+            # linear_solver="mg_cg"; hierarchy = [self] + mg_levels
+            self.mg_levels = list(mg_levels)
+            self._mg_cache = {}
+        if mg_smooth is not None:
+            self.mg_smooth = int(mg_smooth)
+        if mg_omega is not None:
+            self.mg_omega = float(mg_omega)
 
     # -- tabulation / assembler construction ------------------------------------
 
@@ -464,6 +478,28 @@ class ExtractedSpline:
             A = self.assemble_matrix(form, U=U, params=params,
                                      apply_bcs=apply_bcs)
             return solve_dense(A, rhs)
+
+        if method == "mg_cg":
+            # geometric-multigrid-preconditioned CG: V-cycle over the
+            # nested hierarchy [self] + mg_levels (solvers/multigrid.py),
+            # built once per form and cached (the V-cycle preconditions
+            # at the zero state; exact for linear problems)
+            if not self.mg_levels:
+                raise ValueError('linear_solver="mg_cg" requires '
+                                 "set_solver_options(mg_levels=[...])")
+            from ..solvers.multigrid import Multigrid
+            fkey, _, _ = self._form_key(form)
+            mg = self._mg_cache.get(fkey)
+            if mg is None:
+                mg = Multigrid([self] + self.mg_levels, form, params=params,
+                               n_smooth=self.mg_smooth, omega=self.mg_omega)
+                self._mg_cache[fkey] = mg
+            action = self.matrix_operator(form, U=U, apply_bcs=apply_bcs,
+                                          params=params)
+            return solve_krylov(action, rhs, method="cg",
+                                tol=self.linear_tol,
+                                maxiter=self.linear_max_iter, M=mg)
+
         diag = self.assemble_diagonal(form, U=U, params=params,
                                       apply_bcs=apply_bcs)
 
