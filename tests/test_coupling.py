@@ -1,0 +1,148 @@
+"""Penalty coupling of non-matching multi-patch interfaces
+(tigar_tpu.coupling): the capability the reference names but does not
+implement (patch coupling "must come from user-provided merged numbering
+or penalties", tIGAr/BSplines.py:656-659).
+
+Two-patch Poisson on [0,2]x[0,1] split at x=1 with DIFFERENT element
+counts across the interface; the penalty-coupled solution must converge
+to the manufactured solution at the optimal rate, with the interface jump
+at the penalty-consistency scale.
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tigar_tpu.ops.knots import uniform_knots
+from tigar_tpu.models.bspline import TensorBSplineBasis
+from tigar_tpu.models.multipatch import (MultiPatchBSplineBasis,
+                                         MultiPatchControlMesh)
+from tigar_tpu.models.space import EqualOrderSpline
+from tigar_tpu.models.extracted import ExtractedSpline
+from tigar_tpu.coupling import PenaltyInterfaceCoupling
+
+
+def _two_patch_spline(p, nel_a, nel_b_y):
+    """Patch 0 on [0,1]x[0,1] with nel_a^2 elements; patch 1 on [1,2]x[0,1]
+    with nel_a x nel_b_y elements (non-matching across x=1 when
+    nel_b_y != nel_a)."""
+    pa = TensorBSplineBasis([p, p], [uniform_knots(p, 0.0, 1.0, nel_a)] * 2)
+    pb = TensorBSplineBasis([p, p], [uniform_knots(p, 0.0, 1.0, nel_a),
+                                     uniform_knots(p, 0.0, 1.0, nel_b_y)])
+    basis = MultiPatchBSplineBasis([pa, pb])
+
+    def bnet(patch, x_off):
+        g = patch.greville_points()         # linear precision: x(xi)=xi
+        B = np.ones((g.shape[0], 3))
+        B[:, 0] = g[:, 0] + x_off
+        B[:, 1] = g[:, 1]
+        return B
+
+    cm = MultiPatchControlMesh(basis, [bnet(basis.patches[0], 0.0),
+                                       bnet(basis.patches[1], 1.0)])
+    gen = EqualOrderSpline(1, cm)
+    # outer Dirichlet boundary (interface x=1 NOT constrained)
+    gen.add_zero_dofs(0, basis.patch_side_dofs(0, 0, 0))   # x = 0
+    gen.add_zero_dofs(0, basis.patch_side_dofs(1, 0, 1))   # x = 2
+    for patch in (0, 1):
+        for s in (0, 1):
+            gen.add_zero_dofs(0, basis.patch_side_dofs(patch, 1, s))
+    return ExtractedSpline(gen, quad_degree=2 * p), basis
+
+
+def _soln(x):
+    return jnp.sin(0.5 * jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1])
+
+
+def _res(ctx, u, v):
+    f = (0.25 + 1.0) * jnp.pi ** 2 * _soln(ctx.x)
+    return jnp.sum(ctx.grad(u) * ctx.grad(v)) - f * v.val
+
+
+def _solve_coupled(spline, coupling):
+    """One exact Newton step (linear problem) with the penalty coupling
+    folded into residual and tangent."""
+    mask = spline.mask
+    U0 = jnp.zeros(spline.ndof, dtype=spline.dtype)
+    r = spline.assemble_vector(_res, U=U0) + mask * coupling.residual(U0)
+    A = spline.assemble_matrix(_res, U=U0)
+    Kc = jax.jacfwd(lambda uu: mask * coupling.residual(uu))(U0)
+    return U0 - jnp.linalg.solve(A + Kc, r)
+
+
+def test_interface_area_and_geometry_check():
+    spline, basis = _two_patch_spline(2, 4, 6)
+    c = PenaltyInterfaceCoupling(spline, 0, (0, 1), 1, (0, 0), penalty=1.0)
+    assert np.isclose(c.area, 1.0, rtol=1e-12)
+    # wrong side pairing must be caught by the geometric-coincidence check
+    try:
+        PenaltyInterfaceCoupling(spline, 0, (0, 0), 1, (0, 0), penalty=1.0)
+    except ValueError as e:
+        assert "coincide" in str(e)
+    else:
+        raise AssertionError("geometric mismatch not detected")
+
+
+def test_nonmatching_penalty_poisson_converges():
+    p = 2
+    errs = []
+    for nel in (4, 8, 16):
+        spline, basis = _two_patch_spline(p, nel, 3 * nel // 2)
+        coupling = PenaltyInterfaceCoupling(
+            spline, 0, (0, 1), 1, (0, 0), penalty=1e8)
+        U = _solve_coupled(spline, coupling)
+        err = float(spline.errornorm(U, lambda ctx: _soln(ctx.x),
+                                     rationalize=False))
+        errs.append(err)
+        # interface jump at the penalty-consistency scale
+        assert float(coupling.jump_norm(U)) < 1e-6
+    rates = [math.log(errs[i - 1] / errs[i]) / math.log(2.0)
+             for i in range(1, len(errs))]
+    assert errs[-1] < 5e-5, errs
+    assert min(rates) > p + 0.6, (errs, rates)
+
+
+def test_flipped_interface_parameterization():
+    """Reversing patch B's free direction and declaring flips=(True,)
+    must give the identical coupled solution."""
+    p, nel = 2, 6
+    spline, basis = _two_patch_spline(p, nel, nel + 2)
+    c_plain = PenaltyInterfaceCoupling(
+        spline, 0, (0, 1), 1, (0, 0), penalty=1e8)
+    U_ref = _solve_coupled(spline, c_plain)
+
+    # rebuild patch B with its y-direction control net reversed (same
+    # geometry, opposite parameterization)
+    pa = TensorBSplineBasis([p, p], [uniform_knots(p, 0.0, 1.0, nel)] * 2)
+    pb = TensorBSplineBasis([p, p], [uniform_knots(p, 0.0, 1.0, nel),
+                                     uniform_knots(p, 0.0, 1.0, nel + 2)])
+    basis2 = MultiPatchBSplineBasis([pa, pb])
+
+    def bnet(patch, x_off, flip_y):
+        g = patch.greville_points()
+        B = np.ones((g.shape[0], 3))
+        B[:, 0] = g[:, 0] + x_off
+        B[:, 1] = 1.0 - g[:, 1] if flip_y else g[:, 1]
+        return B
+
+    cm2 = MultiPatchControlMesh(basis2, [bnet(basis2.patches[0], 0.0, False),
+                                         bnet(basis2.patches[1], 1.0, True)])
+    gen2 = EqualOrderSpline(1, cm2)
+    gen2.add_zero_dofs(0, basis2.patch_side_dofs(0, 0, 0))
+    gen2.add_zero_dofs(0, basis2.patch_side_dofs(1, 0, 1))
+    for patch in (0, 1):
+        for s in (0, 1):
+            gen2.add_zero_dofs(0, basis2.patch_side_dofs(patch, 1, s))
+    spline2 = ExtractedSpline(gen2, quad_degree=2 * p)
+    c_flip = PenaltyInterfaceCoupling(
+        spline2, 0, (0, 1), 1, (0, 0), penalty=1e8, flips=(True,))
+    U_flip = _solve_coupled(spline2, c_flip)
+
+    e_ref = float(spline.errornorm(U_ref, lambda ctx: _soln(ctx.x),
+                                   rationalize=False))
+    e_flip = float(spline2.errornorm(U_flip, lambda ctx: _soln(ctx.x),
+                                     rationalize=False))
+    # identical up to the conditioning of the penalty-1e8 direct solve
+    assert abs(e_ref - e_flip) < 1e-6 * max(e_ref, 1e-16)

@@ -1,0 +1,290 @@
+"""Penalty coupling of non-matching multi-patch interfaces.
+
+The reference leaves inter-patch control-point merging as a TODO
+("analogous to IPER in the Fortran code", tIGAr/BSplines.py:656-659) and
+notes that patch coupling must otherwise come from user-provided merged
+numbering or penalties.  models/multipatch.py provides the exact C0
+merging for MATCHED parameterizations; this module provides the penalty
+route for NON-MATCHING interfaces (different knot vectors / element counts
+on either side of a shared geometric interface), where no DoF
+identification exists.
+
+Design mirrors contact.PointContact: host-side precompute of sparse
+point-evaluation operators (gather indices + weights) for both patches at
+a shared interface quadrature rule, energy as a batched masked sum, and
+AD-exact residual (grad) / tangent action (HVP) jit-compiled with the
+coupling object as a pytree argument.
+
+    E(U) = penalty/2 * sum_q w_q |u_A(q) - u_B(q)|^2
+
+with w_q the physical surface measure of the interface computed from patch
+A's geometry.  Add ``mask * coupling.residual(U)`` to any residual and
+``mask * coupling.tangent_action(U, mask * W)`` to the tangent action, as
+in the contact demos (reef-knot.py:440-482 pattern).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import INDEX_TYPE
+from .ops.basis import eval_basis
+from .ops.quadrature import gauss_rule, npoints_for_degree
+
+
+def _tensor_eval_op(patch, xi, doffset):
+    """Sparse point-evaluation rows for a tensor-product patch basis at
+    parametric points ``xi`` [nq, dim]: (conn [nq, nen], vals [nq, nen]),
+    with global DoF indices offset by ``doffset``."""
+    nq = xi.shape[0]
+    nodes_d, vals_d = [], []
+    for d, kv in enumerate(patch.kvs):
+        nd, ders = eval_basis(kv, xi[:, d], 0)
+        nodes_d.append(nd)
+        vals_d.append(ders[:, 0, :])
+    conn = nodes_d[0]
+    vals = vals_d[0]
+    stride = patch.kvs[0].ncp
+    for d in range(1, patch.dim):
+        conn = (conn[:, :, None]
+                + stride * nodes_d[d][:, None, :]).reshape(nq, -1)
+        vals = (vals[:, :, None] * vals_d[d][:, None, :]).reshape(nq, -1)
+        stride *= patch.kvs[d].ncp
+    return (conn + int(doffset)).astype(np.int64), vals
+
+
+def _interface_quadrature(patch, direction, side, npts):
+    """Tensor Gauss rule over the free directions of one patch side.
+
+    Returns (xi [nq, dim] parametric points with the fixed coordinate set
+    to the side value, w_param [nq] parametric weights, t_free [nq, dim-1]
+    free-direction coordinates in knot order)."""
+    free = [d for d in range(patch.dim) if d != direction]
+    gp, gw = gauss_rule(npts)
+    pts_d, wts_d = [], []
+    for d in free:
+        uniq = patch.kvs[d].unique_knots
+        a, b = uniq[:-1], uniq[1:]
+        pts = (a[:, None] + 0.5 * (gp[None, :] + 1.0)
+               * (b - a)[:, None]).reshape(-1)
+        wts = (0.5 * (b - a)[:, None] * gw[None, :]).reshape(-1)
+        pts_d.append(pts)
+        wts_d.append(wts)
+    grids = np.meshgrid(*pts_d, indexing="ij")
+    wgrids = np.meshgrid(*wts_d, indexing="ij")
+    t_free = np.stack([g.reshape(-1) for g in grids], axis=-1)
+    w_param = np.prod([w.reshape(-1) for w in wgrids], axis=0)
+    nq = t_free.shape[0]
+    xi = np.zeros((nq, patch.dim))
+    xi[:, direction] = float(side)
+    for i, d in enumerate(free):
+        xi[:, d] = t_free[:, i]
+    return xi, w_param, t_free
+
+
+def _surface_measure(patch, bnet_patch, direction, side, xi):
+    """Physical surface Jacobian of the (rational) patch geometry on its
+    side at parametric points ``xi``: |dx/dt| for a curve interface,
+    |dx/dt1 x dx/dt2| for a surface interface."""
+    free = [d for d in range(patch.dim) if d != direction]
+    nq = xi.shape[0]
+    nsd1 = bnet_patch.shape[1]
+    # values and first derivatives of the homogeneous geometry
+    nodes_d, ders_d = [], []
+    for d, kv in enumerate(patch.kvs):
+        nd, ders = eval_basis(kv, xi[:, d], 1)
+        nodes_d.append(nd)
+        ders_d.append(ders)  # [nq, 2, p+1]
+    # tensor-product accumulation of value and d/d(free_i) rows
+    def accumulate(der_dir):
+        conn = nodes_d[0]
+        vals = ders_d[0][:, 1 if der_dir == 0 else 0, :]
+        stride = patch.kvs[0].ncp
+        for d in range(1, patch.dim):
+            v_d = ders_d[d][:, 1 if der_dir == d else 0, :]
+            conn = (conn[:, :, None]
+                    + stride * nodes_d[d][:, None, :]).reshape(nq, -1)
+            vals = (vals[:, :, None] * v_d[:, None, :]).reshape(nq, -1)
+            stride *= patch.kvs[d].ncp
+        return conn, vals
+
+    conn0, vals0 = accumulate(-1)
+    Xh = np.einsum("qa,qac->qc", vals0, bnet_patch[conn0])   # [nq, nsd+1]
+    w = Xh[:, -1]
+    x = Xh[:, :-1] / w[:, None]
+    tangents = []
+    for d in free:
+        cd, vd = accumulate(d)
+        dXh = np.einsum("qa,qac->qc", vd, bnet_patch[cd])
+        dx = (dXh[:, :-1] - x * dXh[:, -1:]) / w[:, None]
+        tangents.append(dx)
+    if len(tangents) == 1:
+        return np.linalg.norm(tangents[0], axis=-1)
+    t1, t2 = tangents
+    if t1.shape[1] == 3:
+        return np.linalg.norm(np.cross(t1, t2), axis=-1)
+    # codim-0 interface in nsd=2 cannot happen (dim-1 free dims == 2 means
+    # dim == 3); general Gram fallback
+    g11 = np.sum(t1 * t1, -1)
+    g22 = np.sum(t2 * t2, -1)
+    g12 = np.sum(t1 * t2, -1)
+    return np.sqrt(np.maximum(g11 * g22 - g12 ** 2, 0.0))
+
+
+class PenaltyInterfaceCoupling:
+    """Penalty coupling of the fields of one ExtractedSpline across a
+    non-matching interface between two patches of its multi-patch basis.
+
+    Parameters
+    ----------
+    spline    : ExtractedSpline over an equal-order space whose scalar
+                basis is a MultiPatchBSplineBasis
+    patch_a, side_a : patch index and (direction, side) of side A
+    patch_b, side_b : patch index and (direction, side) of side B
+    penalty   : scalar penalty; choose >> the operator scale divided by the
+                acceptable consistency error (pure-penalty coupling error
+                is O(1/penalty))
+    flips     : per-free-direction bools; flips[i] reverses the i-th free
+                parametric direction of B relative to A (default: no flip;
+                free directions are paired in increasing knot order)
+    fields    : field indices to couple (default: all)
+    quad_degree : interface quadrature degree (default: the spline's)
+
+    The interface quadrature lives on side A; side B is evaluated at the
+    affinely mapped parametric points (both patches' knots are normalized
+    to (0,1) by MultiPatchBSplineBasis).  The two sides must parameterize
+    the SAME geometric interface; a mismatch beyond ``geom_tol`` raises.
+    """
+
+    def __init__(self, spline, patch_a, side_a, patch_b, side_b, penalty,
+                 flips=None, fields=None, quad_degree=None, geom_tol=1e-8):
+        from .models.multipatch import MultiPatchBSplineBasis
+
+        space = spline.space
+        basis = space.fields[0]
+        for f in space.fields:
+            if f is not basis:
+                raise ValueError("interface coupling requires an "
+                                 "equal-order space")
+        if not isinstance(basis, MultiPatchBSplineBasis):
+            raise NotImplementedError("interface coupling requires a "
+                                      "MultiPatchBSplineBasis space")
+        self.penalty = float(penalty)
+        self.fields = list(range(space.nfields)) if fields is None \
+            else list(fields)
+        dir_a, sd_a = side_a
+        dir_b, sd_b = side_b
+        pa = basis.patches[patch_a]
+        pb = basis.patches[patch_b]
+        if flips is None:
+            flips = (False,) * (pa.dim - 1)
+
+        npts = npoints_for_degree(quad_degree if quad_degree is not None
+                                  else spline.quad_degree)
+        xi_a, w_param, t_free = _interface_quadrature(pa, dir_a, sd_a, npts)
+        nq = xi_a.shape[0]
+        xi_b = np.zeros((nq, pb.dim))
+        xi_b[:, dir_b] = float(sd_b)
+        free_b = [d for d in range(pb.dim) if d != dir_b]
+        for i, d in enumerate(free_b):
+            tb = 1.0 - t_free[:, i] if flips[i] else t_free[:, i]
+            xi_b[:, d] = tb
+
+        bnet = np.asarray(spline.bnet)
+        off_a, off_b = basis.doffsets[patch_a], basis.doffsets[patch_b]
+        bnet_a = bnet[off_a:off_a + pa.ncp]
+        bnet_b = bnet[off_b:off_b + pb.ncp]
+
+        conn_a, vals_a = _tensor_eval_op(pa, xi_a, off_a)
+        conn_b, vals_b = _tensor_eval_op(pb, xi_b, off_b)
+
+        # control weights (rationalization) and physical positions on both
+        # sides; verify the interfaces geometrically coincide
+        wa = np.einsum("qa,qa->q", vals_a, bnet[conn_a][:, :, -1])
+        wb = np.einsum("qa,qa->q", vals_b, bnet[conn_b][:, :, -1])
+        xa = np.einsum("qa,qac->qc", vals_a, bnet[conn_a][:, :, :-1]) \
+            / wa[:, None]
+        xb = np.einsum("qa,qac->qc", vals_b, bnet[conn_b][:, :, :-1]) \
+            / wb[:, None]
+        gap = float(np.max(np.linalg.norm(xa - xb, axis=-1)))
+        if gap > geom_tol:
+            raise ValueError(
+                "interface sides do not coincide geometrically (max gap "
+                f"{gap:.3e}); check patch/side indices and flips")
+
+        wq = w_param * _surface_measure(pa, bnet_a, dir_a, sd_a, xi_a)
+
+        dtype = spline.dtype
+        self.conn_a = jnp.asarray(conn_a.astype(INDEX_TYPE))
+        self.vals_a = jnp.asarray(vals_a, dtype=dtype)
+        self.w_a = jnp.asarray(wa, dtype=dtype)
+        self.conn_b = jnp.asarray(conn_b.astype(INDEX_TYPE))
+        self.vals_b = jnp.asarray(vals_b, dtype=dtype)
+        self.w_b = jnp.asarray(wb, dtype=dtype)
+        self.wq = jnp.asarray(wq, dtype=dtype)
+        self._offsets = [int(space.offsets[f]) for f in self.fields]
+
+    @property
+    def area(self):
+        """Physical measure of the interface (diagnostic)."""
+        return float(jnp.sum(self.wq))
+
+    # -- energy / residual / tangent ------------------------------------------------
+
+    def _side_value(self, U, off, conn, vals, w):
+        return jnp.einsum("qa,qa->q", vals, U[off + conn]) / w
+
+    def energy(self, U):
+        e = 0.0
+        for off in self._offsets:
+            ua = self._side_value(U, off, self.conn_a, self.vals_a, self.w_a)
+            ub = self._side_value(U, off, self.conn_b, self.vals_b, self.w_b)
+            e = e + jnp.sum(self.wq * (ua - ub) ** 2)
+        return 0.5 * self.penalty * e
+
+    def jump_norm(self, U):
+        """L2 norm of the interface jump (diagnostic)."""
+        return jnp.sqrt(2.0 * self.energy(U) / self.penalty)
+
+    def residual(self, U):
+        return _coupling_residual(self, U)
+
+    def tangent_action(self, U, W):
+        return _coupling_tangent(self, U, W)
+
+    # -- pytree protocol ---------------------------------------------------------
+
+    def tree_flatten(self):
+        children = (self.conn_a, self.vals_a, self.w_a, self.conn_b,
+                    self.vals_b, self.w_b, self.wq)
+        aux = (self.penalty, tuple(self.fields), tuple(self._offsets))
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.conn_a, obj.vals_a, obj.w_a, obj.conn_b, obj.vals_b,
+         obj.w_b, obj.wq) = children
+        obj.penalty, fields, offsets = aux
+        obj.fields = list(fields)
+        obj._offsets = list(offsets)
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    PenaltyInterfaceCoupling,
+    lambda c: c.tree_flatten(),
+    PenaltyInterfaceCoupling.tree_unflatten)
+
+
+@jax.jit
+def _coupling_residual(coupling, U):
+    return jax.grad(coupling.energy)(U)
+
+
+@jax.jit
+def _coupling_tangent(coupling, U, W):
+    # the energy is quadratic: the HVP is exact and U-independent
+    return jax.jvp(lambda a: jax.grad(coupling.energy)(a), (U,), (W,))[1]
