@@ -84,12 +84,18 @@ def main():
     rng = np.random.default_rng(0)
     U64 = jnp.asarray(rng.normal(size=spline.ndof) * 1e-4)
 
-    # correctness cross-check first (f64, one shot)
-    r_gen = asm_gen.residual_vector(res, U64)
-    r_sf = asm_sf.residual_vector(res, U64)
-    dmax = float(jnp.max(jnp.abs(r_gen - r_sf)))
-    ref_mag = float(jnp.max(jnp.abs(r_gen)))
-    log(f"max |generic - sumfac| = {dmax:.3e} (rel {dmax / ref_mag:.3e})")
+    # correctness cross-check first (f64, one shot, JITTED: eager assembly
+    # through the axon tunnel dispatches per-primitive and takes minutes)
+    @jax.jit
+    def _xcheck(ga, sa, U):
+        r_gen = ga.residual_vector(res, U)
+        r_sf = sa.residual_vector(res, U)
+        return jnp.max(jnp.abs(r_gen - r_sf)), jnp.max(jnp.abs(r_gen))
+    t0 = time.time()
+    dmax_, refm_ = _xcheck(asm_gen, asm_sf, U64)
+    dmax, ref_mag = float(dmax_), float(refm_)
+    log(f"xcheck {time.time() - t0:.1f}s: max |generic - sumfac| = "
+        f"{dmax:.3e} (rel {dmax / ref_mag:.3e})")
     assert dmax < 1e-9 * max(ref_mag, 1e-30)
 
     results = {}

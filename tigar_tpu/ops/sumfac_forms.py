@@ -25,6 +25,23 @@ TPU-native replacement that keeps the MXU busy with per-direction batched
 contractions and scales 3D problems past what dense tabulation allows
 (SURVEY.md section 7).
 
+WHEN IT WINS (measured, honest chained-scan timing on one v5e; see
+scripts/bench_shell_sumfac.py):
+  - light densities / operator applies, where gather+scatter dominates:
+    scalar p=2 stiffness apply at 66k DoFs is 10x faster sum-factorized
+    (1.3 ms vs 13.2 ms f32; ops/fastpath.py writeup);
+  - 3D problems whose dense [nel, nq, nen] tabulation would not fit
+    (941k-DoF Poisson runs entirely sum-factorized).
+WHEN IT DOES NOT (keep the generic tabulated DomainAssembler):
+  - AD-heavy pointwise densities: the SVK Kirchhoff-Love shell residual
+    at 128^2 (50.7k DoFs) measures generic 22.4 ms vs sumfac 29.6 ms f32
+    (873 vs 889 ms f64) -- identical results to 1.4e-13 relative.  There
+    the per-point energy/AD work dominates and the dense jet einsum
+    utilizes the MXU better than 2*(dim+3) separate evaluation/transpose
+    chains (value + dim gradients + dim(dim+1)/2 Hessian columns, forward
+    and adjoint).  bench.py's headline therefore stays on the generic
+    assembler.
+
 Quadrature-grid layout: all per-point arrays (ctx leaves, scale, jets) live
 on the interleaved grid (e_{D-1}, q_{D-1}, ..., e_0, q_0), flattened to one
 leading axis of NQ = nel * nq points.  Layout consistency is internal; DoF
