@@ -3,6 +3,8 @@ preconditioned CG with h-independent iteration counts, and the "mg_cg"
 linear-solver dispatch (the framework's answer to the reference's PETSc
 preconditioner zoo, tIGAr/common.py:1236-1263)."""
 
+import math
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -121,6 +123,77 @@ def test_mg_cg_h_independent_iterations():
         assert err < 1e-8 * float(jnp.max(jnp.abs(x_direct)))
     assert iters[16] <= 15 and iters[32] <= 15
     assert iters[32] <= iters[16] + 2  # h-independence
+
+
+def test_identity_poisson_multigrid_3d_sumfac():
+    """Operator-level multigrid (Multigrid.from_level_data via
+    identity_poisson_multigrid) over sum-factorized identity-geometry
+    operators: the production path for ~1M-DoF 3D solves
+    (demos/poisson/poisson_large_3d.py).  A fixed small number of MG-CG
+    iterations must reach 1e-10 relative residual at BOTH mesh sizes
+    (h-independence), with the discretization error optimal."""
+    from tigar_tpu.ops.sumfac import (make_sumfac_identity_operator,
+                                      sumfac_linear_form, sumfac_l2_error)
+    from tigar_tpu.solvers.multigrid import identity_poisson_multigrid
+    from tigar_tpu.solvers.linear import cg_fixed_iters
+
+    p = 2
+
+    def soln(x, y, z):
+        return (jnp.sin(jnp.pi * x) * jnp.sin(jnp.pi * y)
+                * jnp.sin(jnp.pi * z))
+
+    def f_rhs(x, y, z):
+        return 3.0 * jnp.pi ** 2 * soln(x, y, z)
+
+    errs = {}
+    for nel in (8, 16):
+        sizes = []
+        n = nel
+        while n >= 2:
+            sizes.append(n)
+            n //= 2
+        bases = [TensorBSplineBasis([p] * 3,
+                                    [uniform_knots(p, 0.0, 1.0, s)] * 3)
+                 for s in sizes]
+        masks = []
+        for b in bases:
+            m = np.ones(b.ncp)
+            for d in range(3):
+                for s in (0, 1):
+                    m[b.side_dofs(d, s)] = 0.0
+            masks.append(m)
+        mg = identity_poisson_multigrid(bases, 2 * p, masks)
+        mask0 = jnp.asarray(masks[0])
+        op = make_sumfac_identity_operator(bases[0], 2 * p, mask=mask0)
+        b_vec = sumfac_linear_form(bases[0], 2 * p, f_rhs) * mask0
+        x, r = cg_fixed_iters(op, b_vec, 18, M=mg)
+        rel = float(jnp.linalg.norm(r)) / float(jnp.linalg.norm(b_vec))
+        assert rel < 1e-10, (nel, rel)  # h-independent: same iters, both h
+        errs[nel] = float(sumfac_l2_error(bases[0], 2 * p, x, soln))
+    rate = math.log(errs[8] / errs[16]) / math.log(2.0)
+    assert rate > p + 0.7, (errs, rate)
+
+
+def test_chebyshev_smoother_converges_faster():
+    """Chebyshev smoothing (enable_chebyshev) must preserve correctness
+    and converge in no more PCG iterations than weighted Jacobi."""
+    p, nel = 2, 16
+    levels = [_poisson_spline(p, n) for n in (nel, nel // 2, nel // 4)]
+    b = levels[0].assemble_vector(_L)
+    action = levels[0].matrix_operator(_a)
+
+    mg_j = Multigrid(levels, _a, n_smooth=2, omega=0.7)
+    x_j, it_j = _pcg_iters(action, b, mg_j)
+
+    mg_c = Multigrid(levels, _a, n_smooth=2).enable_chebyshev()
+    x_c, it_c = _pcg_iters(action, b, mg_c)
+
+    assert it_c <= it_j, (it_c, it_j)
+    A = levels[0].assemble_matrix(_a)
+    x_direct = jnp.linalg.solve(A, b)
+    scale = float(jnp.max(jnp.abs(x_direct)))
+    assert float(jnp.max(jnp.abs(x_c - x_direct))) < 1e-8 * scale
 
 
 def test_mg_cg_linear_solver_dispatch():

@@ -133,7 +133,15 @@ class Multigrid:
     """
 
     def __init__(self, splines, form, params=None, n_smooth=2, omega=0.7,
-                 states=None):
+                 states=None, actions=None, diags=None):
+        """``actions``/``diags`` optionally override the operator action
+        (W -> A_l W, BC'd with unit diagonal) and Jacobi diagonal of each
+        level -- e.g. sum-factorized operators (ops/sumfac.py) at
+        production scale where the generic tangent JVP is not the fast
+        path.  Entries may be None to keep the default for that level;
+        the coarsest level still assembles its dense inverse from
+        ``form`` unless its action is left as default AND ``form`` is
+        usable there."""
         if len(splines) < 2:
             raise ValueError("need at least two levels")
         self.splines = list(splines)
@@ -143,12 +151,16 @@ class Multigrid:
         self.omega = float(omega)
         dtype = splines[0].dtype
         states = [None] * len(splines) if states is None else list(states)
+        actions = [None] * len(splines) if actions is None else list(actions)
+        diags = [None] * len(splines) if diags is None else list(diags)
 
         self.levels = []
-        for spline, U in zip(self.splines, states):
+        self._actions = actions
+        for spline, U, dg in zip(self.splines, states, diags):
             U_ = (jnp.zeros(spline.ndof, dtype=spline.dtype)
                   if U is None else U)
-            diag = spline.assemble_diagonal(form, U=U_, params=params)
+            diag = (spline.assemble_diagonal(form, U=U_, params=params)
+                    if dg is None else jnp.asarray(dg))
             self.levels.append({
                 "spline": spline,
                 "U": U_,
@@ -166,6 +178,10 @@ class Multigrid:
                   for bc, bf in zip(lc.space.fields, lf.space.fields)]
             self.transfers.append(ts)
 
+        self._fslices = [tuple(s.space.field_slice(f)
+                               for f in range(s.space.nfields))
+                         for s in self.splines]
+
         # coarse dense inverse (host LU; jnp.linalg.solve has no TPU-f64
         # lowering, and a stored inverse turns the coarse solve into one
         # MXU matmul per V-cycle)
@@ -174,9 +190,66 @@ class Multigrid:
             form, U=self.levels[-1]["U"], params=params))
         self._coarse_inv = jnp.asarray(np.linalg.inv(A_c), dtype=dtype)
 
+    @classmethod
+    def from_level_data(cls, level_bases, actions, diags, masks,
+                        coarse_dense, n_smooth=2, omega=0.7, dtype=None):
+        """Operator-level constructor: no ExtractedSplines required.
+
+        level_bases  : per level, a list of per-field TensorBSplineBasis
+                       (or one basis for a scalar space); nested fine->coarse
+        actions      : per level, W -> A_l @ W (already BC'd, unit diagonal
+                       at constrained DoFs) -- e.g. sum-factorized identity
+                       operators (ops/sumfac.make_sumfac_identity_operator)
+        diags        : per level, the operator diagonal (BC'd)
+        masks        : per level, the BC mask vector
+        coarse_dense : dense BC'd matrix of the coarsest level (host array)
+
+        The production path for the ~1M-DoF sum-factorized solves
+        (demos/poisson/poisson_large_3d.py), where no dense tabulation or
+        ExtractedSpline exists at the fine levels.
+        """
+        obj = cls.__new__(cls)
+        obj.splines = None
+        obj.form = None
+        obj.params = None
+        obj.n_smooth = int(n_smooth)
+        obj.omega = float(omega)
+        level_bases = [b if isinstance(b, (list, tuple)) else [b]
+                       for b in level_bases]
+        if dtype is None:
+            dtype = jnp.asarray(diags[0]).dtype
+        obj._actions = list(actions)
+        if any(a is None for a in obj._actions):
+            raise ValueError("from_level_data requires an action per level")
+        obj.levels = []
+        for dg, mk in zip(diags, masks):
+            dg = jnp.asarray(dg, dtype=dtype)
+            obj.levels.append({
+                "spline": None, "U": None,
+                "dinv": jnp.where(dg != 0.0, 1.0 / dg, jnp.ones_like(dg)),
+                "mask": jnp.asarray(mk, dtype=dtype),
+            })
+        obj.transfers = []
+        for bf, bc in zip(level_bases[:-1], level_bases[1:]):
+            if len(bf) != len(bc):
+                raise ValueError("levels must have matching field counts")
+            obj.transfers.append([_FieldTransfer(c, f, dtype)
+                                  for c, f in zip(bc, bf)])
+        obj._fslices = []
+        for bases in level_bases:
+            offs = np.concatenate([[0], np.cumsum([b.ncp for b in bases])])
+            obj._fslices.append(tuple(
+                slice(int(offs[f]), int(offs[f + 1]))
+                for f in range(len(bases))))
+        obj._coarse_inv = jnp.asarray(
+            np.linalg.inv(np.asarray(coarse_dense)), dtype=dtype)
+        return obj
+
     # -- level algebra ---------------------------------------------------------
 
     def _action(self, level, W):
+        if self._actions[level] is not None:
+            return self._actions[level](W)
         lev = self.levels[level]
         return lev["spline"].tangent_action(self.form, lev["U"], W,
                                             params=self.params)
@@ -184,36 +257,199 @@ class Multigrid:
     def _prolong(self, level, xc):
         """Coarse (level+1) -> fine (level)."""
         ts = self.transfers[level]
-        sc = self.splines[level + 1].space
-        parts = [t.prolong(xc[sc.field_slice(f)])
-                 for f, t in enumerate(ts)]
+        sl = self._fslices[level + 1]
+        parts = [t.prolong(xc[sl[f]]) for f, t in enumerate(ts)]
         return jnp.concatenate(parts)
 
     def _restrict(self, level, xf):
         """Fine (level) -> coarse (level+1)."""
         ts = self.transfers[level]
-        sf = self.splines[level].space
-        parts = [t.restrict(xf[sf.field_slice(f)])
-                 for f, t in enumerate(ts)]
+        sl = self._fslices[level]
+        parts = [t.restrict(xf[sl[f]]) for f, t in enumerate(ts)]
         return jnp.concatenate(parts)
+
+    # -- smoothers ---------------------------------------------------------------
+
+    def enable_chebyshev(self, degree=None, power_iters=12, upper_margin=1.1,
+                         lower_fraction=0.25):
+        """Switch smoothing from weighted Jacobi to Chebyshev polynomial
+        smoothing on D^-1 A (the standard matrix-free MG smoother; PETSc's
+        default for GAMG).  Estimates each level's largest D^-1 A
+        eigenvalue by power iteration at call time; the smoothing range is
+        [lower_fraction*lmax, upper_margin*lmax].  ``degree`` defaults to
+        ``n_smooth + 1`` (one Chebyshev application replaces each Jacobi
+        sweep block, so pre- and post-smoothing each apply one degree-k
+        polynomial)."""
+        self._cheb_degree = int(degree) if degree else self.n_smooth + 1
+        self._cheb_bounds = []
+        for level in range(len(self.levels) - 1):
+            lev = self.levels[level]
+            n = lev["dinv"].shape[0]
+            rng = np.random.default_rng(level)
+            v = jnp.asarray(rng.normal(size=n), dtype=lev["dinv"].dtype)
+            lmax = 1.0
+            for _ in range(int(power_iters)):
+                w = lev["dinv"] * self._action(level, v)
+                lmax = float(jnp.linalg.norm(w))
+                v = w / lmax
+            self._cheb_bounds.append((lower_fraction * upper_margin * lmax,
+                                      upper_margin * lmax))
+        return self
+
+    def _smooth(self, level, b, x=None):
+        """Apply the smoother from initial guess ``x`` (None = zero);
+        linear in (b, x), identical pre/post -> the V-cycle stays SPD."""
+        lev = self.levels[level]
+        if getattr(self, "_cheb_bounds", None) is not None:
+            lmin, lmax = self._cheb_bounds[level]
+            theta = 0.5 * (lmax + lmin)
+            delta = 0.5 * (lmax - lmin)
+            sigma = theta / delta
+            rho = 1.0 / sigma
+            if x is None:
+                r = b
+                x = jnp.zeros_like(b)
+            else:
+                r = b - self._action(level, x)
+            d = (lev["dinv"] * r) / theta
+            for _ in range(self._cheb_degree):
+                x = x + d
+                r = r - self._action(level, d)
+                rho_new = 1.0 / (2.0 * sigma - rho)
+                d = (rho_new * rho) * d \
+                    + (2.0 * rho_new / delta) * (lev["dinv"] * r)
+                rho = rho_new
+            return x
+        om_dinv = self.omega * lev["dinv"]
+        if x is None:
+            x = om_dinv * b
+            sweeps = self.n_smooth - 1
+        else:
+            sweeps = self.n_smooth
+        for _ in range(sweeps):
+            x = x + om_dinv * (b - self._action(level, x))
+        return x
 
     def _vcycle(self, level, b):
         if level == len(self.levels) - 1:
             return self._coarse_inv @ b
         lev = self.levels[level]
-        om_dinv = self.omega * lev["dinv"]
-        x = om_dinv * b
-        for _ in range(self.n_smooth - 1):
-            x = x + om_dinv * (b - self._action(level, x))
+        x = self._smooth(level, b)
         r = b - self._action(level, x)
         rc = self.levels[level + 1]["mask"] * self._restrict(level, r)
         ec = self._vcycle(level + 1, rc)
         x = x + lev["mask"] * self._prolong(level, ec)
-        for _ in range(self.n_smooth):
-            x = x + om_dinv * (b - self._action(level, x))
+        x = self._smooth(level, b, x)
         return x
 
     def __call__(self, r):
         """One V-cycle from a zero initial guess: a fixed SPD linear
         operator, valid as a CG preconditioner."""
         return self._vcycle(0, r)
+
+
+# -- identity-geometry (explicit B-spline) level data -------------------------------
+#
+# For the sum-factorized ck*K + cm*M operators on identity geometry
+# (ops/sumfac.make_sumfac_identity_operator), the operator is separable:
+#   K = sum_d M_{D-1} x ... x K_d x ... x M_0,   M = M_{D-1} x ... x M_0
+# so the Jacobi diagonal and the (small) coarse dense matrix come from 1D
+# stiffness/mass matrices without touching any 3D assembly.
+
+
+def matrices_1d(kv, npts):
+    """Host-side 1D stiffness and mass matrices of one knot vector
+    (consistent with the sum-factorized quadrature)."""
+    from ..ops.basis import bspline_basis_ders
+    from ..ops.quadrature import gauss_rule
+
+    g, w = gauss_rule(npts)
+    spans = kv.element_spans()
+    lefts = kv.unique_knots[:-1]
+    h = kv.element_sizes()
+    qp = (lefts[:, None] + (g[None, :] + 1.0) * 0.5 * h[:, None]).reshape(-1)
+    qw = (0.5 * h[:, None] * w[None, :]).reshape(-1)
+    ders = bspline_basis_ders(kv.ghost_knots, kv.n_ghost, kv.p, qp,
+                              np.repeat(spans, npts), 1)
+    nodes = (np.repeat(spans, npts)[:, None] - kv.p
+             + np.arange(kv.p + 1)[None, :])
+    nodes = np.mod(nodes, kv.ncp)
+    K = np.zeros((kv.ncp, kv.ncp))
+    M = np.zeros((kv.ncp, kv.ncp))
+    N, dN = ders[:, 0, :], ders[:, 1, :]
+    for q in range(len(qp)):
+        idx = nodes[q]
+        K[np.ix_(idx, idx)] += qw[q] * np.outer(dN[q], dN[q])
+        M[np.ix_(idx, idx)] += qw[q] * np.outer(N[q], N[q])
+    return K, M
+
+
+def identity_level_data(basis, quad_degree, mask, ck=1.0, cm=0.0,
+                        diag_bc=1.0, dense=False):
+    """(diag, dense_or_None) of the BC'd ck*K + cm*M operator on identity
+    geometry for a scalar tensor-product basis -- the Jacobi diagonal for
+    V-cycle smoothing, and (for the coarsest level) the dense matrix with
+    zeroRowsColumns BC semantics."""
+    from ..ops.quadrature import npoints_for_degree
+
+    npts = npoints_for_degree(quad_degree)
+    mats = [matrices_1d(kv, npts) for kv in basis.kvs]
+    dim = basis.dim
+    mask = np.asarray(mask)
+
+    # separable diagonal: diag(A x B) = diag(A) x diag(B); dir-0-fastest
+    # flattening = C-order ravel of the (n_{D-1}, ..., n_0) grid
+    def kron_diag(vecs):
+        out = vecs[dim - 1]
+        for d in range(dim - 2, -1, -1):
+            out = np.multiply.outer(out, vecs[d])
+        return out.reshape(-1)
+
+    dK = [np.diag(K) for K, _ in mats]
+    dM = [np.diag(M) for _, M in mats]
+    diag = cm * kron_diag(dM) if cm else np.zeros(basis.ncp)
+    for d in range(dim):
+        vecs = [dK[i] if i == d else dM[i] for i in range(dim)]
+        diag = diag + ck * kron_diag(vecs)
+    diag = mask * diag + diag_bc * (1.0 - mask)
+
+    A = None
+    if dense:
+        def kron_all(ms):
+            out = ms[dim - 1]
+            for d in range(dim - 2, -1, -1):
+                out = np.kron(out, ms[d])
+            return out
+
+        A = cm * kron_all([M for _, M in mats]) if cm else \
+            np.zeros((basis.ncp, basis.ncp))
+        for d in range(dim):
+            ms = [mats[i][0] if i == d else mats[i][1] for i in range(dim)]
+            A = A + ck * kron_all(ms)
+        A = (mask[:, None] * A * mask[None, :]
+             + diag_bc * np.diag(1.0 - mask))
+    return diag, A
+
+
+def identity_poisson_multigrid(bases, quad_degree, masks, ck=1.0, cm=0.0,
+                               n_smooth=2, omega=0.7, dtype=None):
+    """Multigrid preconditioner for the sum-factorized ck*K + cm*M
+    operator on identity geometry: levels are scalar tensor-product bases
+    with nested knots [fine, ..., coarse], each with its own BC mask.
+    Level actions are make_sumfac_identity_operator; diagonals and the
+    coarse dense inverse come from 1D matrices (separable).  This is the
+    production solver path for demos/poisson/poisson_large_3d.py."""
+    from ..ops.sumfac import make_sumfac_identity_operator
+
+    actions, diags = [], []
+    for i, (b, m) in enumerate(zip(bases, masks)):
+        mask = jnp.asarray(np.asarray(m), dtype=dtype) if dtype else \
+            jnp.asarray(np.asarray(m))
+        actions.append(make_sumfac_identity_operator(
+            b, quad_degree, mask=mask, ck=ck, cm=cm, dtype=dtype))
+        dg, A = identity_level_data(b, quad_degree, np.asarray(m), ck=ck,
+                                    cm=cm, dense=(i == len(bases) - 1))
+        diags.append(dg)
+    return Multigrid.from_level_data(bases, actions, diags, masks, A,
+                                     n_smooth=n_smooth, omega=omega,
+                                     dtype=dtype)
