@@ -175,6 +175,51 @@ def test_identity_poisson_multigrid_3d_sumfac():
     assert rate > p + 0.7, (errs, rate)
 
 
+def test_mg_vector_field_elasticity():
+    """Multi-field transfers: MG-preconditioned CG on a 2-field (vector)
+    linear elasticity problem matches the dense direct solve."""
+    from tigar_tpu.models.bspline import ExplicitBSplineControlMesh
+
+    p = 2
+
+    def build(nel):
+        cm = ExplicitBSplineControlMesh(
+            [p, p], [uniform_knots(p, 0.0, 1.0, nel)] * 2)
+        gen = EqualOrderSpline(2, cm)
+        basis = cm.scalar_basis()
+        for d in (0, 1):
+            for s in (0, 1):
+                dofs = basis.side_dofs(d, s)
+                for f in (0, 1):
+                    gen.add_zero_dofs(f, dofs)
+        return ExtractedSpline(gen, quad_degree=2 * p)
+
+    lam, mu = 1.0, 1.0
+
+    def elast(ctx, u, v):
+        gu = ctx.grad(u)           # [2, 2]
+        gv = ctx.grad(v)
+        eps_u = 0.5 * (gu + gu.T)
+        eps_v = 0.5 * (gv + gv.T)
+        body = jnp.asarray([0.0, -1.0])
+        return (lam * jnp.trace(eps_u) * jnp.trace(eps_v)
+                + 2.0 * mu * jnp.sum(eps_u * eps_v)
+                - jnp.dot(body, v.val))
+
+    fine = build(16)
+    mg = Multigrid([fine, build(8), build(4)], elast, n_smooth=2, omega=0.7)
+    b = -fine.assemble_vector(elast,
+                              U=jnp.zeros(fine.ndof, dtype=fine.dtype))
+    action = fine.matrix_operator(elast)
+    x, it = _pcg_iters(action, b, mg, tol=1e-10, maxiter=60)
+    A = fine.assemble_matrix(elast)
+    x_direct = jnp.linalg.solve(A, b)
+    scale = float(jnp.max(jnp.abs(x_direct)))
+    assert scale > 0.0
+    assert float(jnp.max(jnp.abs(x - x_direct))) < 1e-8 * scale
+    assert it <= 25, it
+
+
 def test_chebyshev_smoother_converges_faster():
     """Chebyshev smoothing (enable_chebyshev) must preserve correctness
     and converge in no more PCG iterations than weighted Jacobi."""
