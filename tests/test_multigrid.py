@@ -220,6 +220,56 @@ def test_mg_vector_field_elasticity():
     assert it <= 25, it
 
 
+def test_mg_shell_tangent():
+    """Multigrid on the Kirchhoff-Love SVK shell tangent (a 4th-order
+    bending + membrane operator on a 3-field space): the V-cycle must cut
+    the PCG iteration count vs Jacobi, with the gap growing under
+    refinement (measured: 25 vs 9 at 16^2 here; 86 vs 11 at 32^2, and
+    9 with Chebyshev smoothing)."""
+    from tigar_tpu.models.bspline import ExplicitBSplineControlMesh
+    from tigar_tpu.models.shell import (svk_psi_surface,
+                                        precompute_shell_reference)
+    from tigar_tpu.forms import deriv
+    from tigar_tpu.solvers.linear import jacobi_preconditioner
+
+    E_mod, nu, h_th, q = 1.0e7, 0.3, 0.03, 1.0e-2
+
+    def res(ctx, u, v):
+        dW = deriv(lambda y: svk_psi_surface(ctx, y, E_mod, nu, h_th), u, v)
+        return dW - q * v.val[2]
+
+    def build(nel):
+        cm = ExplicitBSplineControlMesh(
+            [2, 2], [uniform_knots(2, -1.0, 1.0, nel)] * 2, extra_dim=1)
+        sp = EqualOrderSpline(3, cm)
+        b = cm.scalar_basis()
+        for s in (0, 1):
+            for d in (0, 1):
+                dofs = b.side_dofs(d, s, n_layers=2)
+                for i in range(3):
+                    sp.add_zero_dofs(i, dofs)
+        return precompute_shell_reference(
+            ExtractedSpline(sp, quad_degree=4, nders=2))
+
+    fine = build(16)
+    levels = [fine, build(8), build(4)]
+    U0 = jnp.zeros(fine.ndof, dtype=fine.dtype)
+    b = -fine.assemble_vector(res, U=U0)
+    action = fine.matrix_operator(res)
+    dg = fine.assemble_diagonal(res, U=U0)
+    _, it_jac = _pcg_iters(action, b, jacobi_preconditioner(dg),
+                           tol=1e-8, maxiter=400)
+    mg = Multigrid(levels, res, n_smooth=2, omega=0.7)
+    x_mg, it_mg = _pcg_iters(action, b, mg, tol=1e-8, maxiter=100)
+    assert it_mg <= 15, it_mg
+    assert 2 * it_mg < it_jac, (it_mg, it_jac)
+    # solution correct vs dense direct
+    A = fine.assemble_matrix(res, U=U0)
+    x_d = jnp.linalg.solve(A, b)
+    scale = float(jnp.max(jnp.abs(x_d)))
+    assert float(jnp.max(jnp.abs(x_mg - x_d))) < 1e-6 * scale
+
+
 def test_chebyshev_smoother_converges_faster():
     """Chebyshev smoothing (enable_chebyshev) must preserve correctness
     and converge in no more PCG iterations than weighted Jacobi."""
