@@ -56,6 +56,36 @@ def test_midsurface_geometry_flat():
     assert np.allclose(np.asarray(n)[..., 2], 1.0, atol=1e-12)
 
 
+def test_hand_residual_matches_ad():
+    """svk_shell_residual (the hand-derived first variation used by
+    bench.py and __graft_entry__.py) must match the AD-of-energy density
+    to f64 roundoff -- residual AND tangent action -- at a large random
+    displacement."""
+    from tigar_tpu.models.shell import (svk_shell_residual,
+                                        precompute_shell_reference)
+    E_mod, nu, h_th, q = 1.0e7, 0.3, 0.03, 1.0e-2
+
+    def res_ad(ctx, u, v):
+        return deriv(lambda y: svk_psi_surface(ctx, y, E_mod, nu, h_th),
+                     u, v) - q * v.val[2]
+
+    def res_hand(ctx, u, v):
+        return svk_shell_residual(ctx, u, v, E_mod, nu, h_th) - q * v.val[2]
+
+    spline = precompute_shell_reference(make_shell_spline(6))
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(rng.normal(size=spline.ndof) * 0.1)
+    W = jnp.asarray(rng.normal(size=spline.ndof))
+    r1 = spline.assemble_vector(res_ad, U=U)
+    r2 = spline.assemble_vector(res_hand, U=U)
+    m = float(jnp.max(jnp.abs(r1)))
+    assert float(jnp.max(jnp.abs(r1 - r2))) < 1e-13 * m
+    t1 = spline.tangent_action(res_ad, U, W)
+    t2 = spline.tangent_action(res_hand, U, W)
+    mt = float(jnp.max(jnp.abs(t1)))
+    assert float(jnp.max(jnp.abs(t1 - t2))) < 1e-13 * mt
+
+
 def test_svk_plate_center_deflection():
     """Small-deflection clamped plate: center deflection within a few
     percent of the Kirchhoff solution."""

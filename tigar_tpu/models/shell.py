@@ -206,6 +206,70 @@ def precompute_shell_reference(spline, domain="dx"):
     return spline
 
 
+def svk_shell_residual(ctx, y, v, E_mod, nu, h_th):
+    """Hand-derived first variation dW(y; v) of ``svk_psi_surface``:
+    mathematically identical to ``deriv(lambda y: svk_psi_surface(...),
+    y, v)`` (tested to f64 roundoff) but structurally cheaper to assemble:
+    the expression separates the v-independent primal (geometry, strains,
+    stress resultants) from the terms LINEAR in the test jet ``v``, so the
+    reverse-mode transpose that assembly performs over ``v`` only
+    traverses the linear tail instead of the whole energy/JVP graph.
+
+    Requires ctx.aux['shell_ref'] (precompute_shell_reference).  All
+    symbols follow midsurface_geometry; the variation formulas are the
+    exact differentials of that closed-form chain.
+    """
+    sref = ctx.aux["shell_ref"]
+    ref_a, ref_b, ea = sref.a, sref.b, sref.ea
+
+    # primal (v-independent) ---------------------------------------------------
+    G = ctx.DF + y.g                                  # [3, 2]
+    H = ctx.d2F + y.h                                 # [3, 2, 2]
+    a0, a1 = G[:, 0], G[:, 1]
+    n = jnp.cross(a0, a1)
+    nn = jnp.sqrt(jnp.dot(n, n))
+    a2 = n / nn
+    dn = (jnp.cross(H[:, 0, :], a1[:, None], axisa=0, axisb=0, axisc=0)
+          + jnp.cross(a0[:, None], H[:, 1, :], axisa=0, axisb=0, axisc=0))
+    a2dn = a2 @ dn                                    # [2]
+    deriv_a2 = (dn - a2[:, None] * a2dn[None, :]) / nn
+    cur_a = G.T @ G
+    b_uns = -(G.T @ deriv_a2)
+    cur_b = 0.5 * (b_uns + b_uns.T)
+    eps = ea @ (0.5 * (cur_a - ref_a)) @ ea.T
+    kap = ea @ (cur_b - ref_b) @ ea.T
+
+    lam_ps = E_mod * nu / (1.0 - nu ** 2)
+    mu = E_mod / (2.0 * (1.0 + nu))
+    I2 = jnp.eye(2, dtype=eps.dtype)
+    Nm = h_th * (lam_ps * jnp.trace(eps) * I2 + 2.0 * mu * eps)
+    Mm = h_th ** 3 / 12.0 * (lam_ps * jnp.trace(kap) * I2 + 2.0 * mu * kap)
+    # pull the stress resultants back to the covariant frame:
+    # Nm : (ea X ea^T) == (ea^T Nm ea) : X
+    Nb = ea.T @ Nm @ ea
+    Mb = ea.T @ Mm @ ea
+
+    # linear in the test jet v ---------------------------------------------------
+    dG = v.g
+    dH = v.h
+    da0, da1 = dG[:, 0], dG[:, 1]
+    dnt = jnp.cross(da0, a1) + jnp.cross(a0, da1)
+    dnn = jnp.dot(n, dnt) / nn
+    da2 = (dnt - a2 * dnn) / nn
+    ddn = (jnp.cross(dH[:, 0, :], a1[:, None], axisa=0, axisb=0, axisc=0)
+           + jnp.cross(H[:, 0, :], da1[:, None], axisa=0, axisb=0, axisc=0)
+           + jnp.cross(da0[:, None], H[:, 1, :], axisa=0, axisb=0, axisc=0)
+           + jnp.cross(a0[:, None], dH[:, 1, :], axisa=0, axisb=0, axisc=0))
+    dderiv_a2 = ((ddn - da2[:, None] * a2dn[None, :]
+                  - a2[:, None] * (da2 @ dn)[None, :]
+                  - a2[:, None] * (a2 @ ddn)[None, :]) / nn
+                 - deriv_a2 * (dnn / nn))
+    d_cur_a = dG.T @ G + G.T @ dG
+    db_uns = -(dG.T @ deriv_a2 + G.T @ dderiv_a2)
+    d_cur_b = 0.5 * (db_uns + db_uns.T)
+    return (jnp.sum(Nb * (0.5 * d_cur_a)) + jnp.sum(Mb * d_cur_b))
+
+
 def svk_psi_surface(ctx, y, E_mod, nu, h_th):
     """St. Venant-Kirchhoff Kirchhoff-Love shell energy per unit reference
     midsurface area, integrated analytically through the thickness
