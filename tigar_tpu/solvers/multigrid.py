@@ -38,6 +38,9 @@ def coarsen_knots(knots, p=None):
     """Remove every other interior unique knot (keeping multiplicities):
     the standard geometric coarsening, exact inverse of one dyadic
     refinement for uniform vectors.  Returns a plain knot array."""
+    if not isinstance(knots, KnotVector) and p is None:
+        raise ValueError("coarsen_knots needs the degree p for a plain "
+                         "knot array")
     kv = knots if isinstance(knots, KnotVector) else KnotVector(p, knots)
     if kv.is_periodic:
         raise NotImplementedError("multigrid coarsening requires open knots")
@@ -138,10 +141,10 @@ class Multigrid:
         (W -> A_l W, BC'd with unit diagonal) and Jacobi diagonal of each
         level -- e.g. sum-factorized operators (ops/sumfac.py) at
         production scale where the generic tangent JVP is not the fast
-        path.  Entries may be None to keep the default for that level;
-        the coarsest level still assembles its dense inverse from
-        ``form`` unless its action is left as default AND ``form`` is
-        usable there."""
+        path.  Entries may be None to keep the default for that level.
+        The coarsest level's dense inverse is always assembled from
+        ``form`` here; use ``from_level_data`` when no form-based
+        assembly is possible."""
         if len(splines) < 2:
             raise ValueError("need at least two levels")
         self.splines = list(splines)
