@@ -14,8 +14,13 @@ and backward-Euler-style damped dynamics (reef-knot.py:272-283).
 Fully matrix-free: the combined tangent (shell JVP + contact HVP) is only
 ever applied to vectors inside a Jacobi-preconditioned CG, so no dense
 ndof^2 object exists anywhere and the demo scales to the reference
-workload class of ~10^4 collocation points (NEL=96 -> 9801 Greville
+workload class of ~10^4 collocation points (NEL=96 -> 9604 Greville
 points; contact rows are chunk-rematerialized, contact.py row_chunk).
+By default the CG runs in float32 inside the float64 Newton loop (MIXED);
+verified on a real v5e at NEL=32 (3468 DoFs): ~7 Newton iterations/step
+to 5e-5 relative, identical convergence history to the all-f64 path.
+NEL=96 setup + residual run on one chip; at that resolution raise
+CG_ITERS (Jacobi-CG needs O(1/h^2) iterations on the bending tangent).
 """
 
 import os
@@ -35,7 +40,13 @@ from tigar_tpu.io import write_vtk, write_pvd
 
 NEL = int(os.environ.get("NEL", "6"))
 N_STEPS = int(os.environ.get("N_STEPS", "10"))
-CG_ITERS = int(os.environ.get("CG_ITERS", "200"))
+# Jacobi-CG on the shell tangent needs O(1/h^2) iterations (4th-order
+# bending: condition ~ h^-4); scale the fixed count with resolution.
+CG_ITERS = int(os.environ.get("CG_ITERS", str(max(200, 12 * NEL))))
+# Mixed precision (default on): f32 CG on the combined tangent inside the
+# f64 Newton loop -- on TPU the f64-emulated contact HVP is ~30x the f32
+# cost, and the 1e-4 Newton tolerance is far above f32 resolution.
+MIXED = os.environ.get("MIXED", "1") != "0"
 
 mesh = ExplicitBSplineControlMesh(
     [2, 2], [uniform_knots(2, 0.0, 1.0, NEL)] * 2, extra_dim=1)
@@ -56,11 +67,26 @@ DELTA_T = 2.0e-3
 LOAD = -8.0           # dead load pressing the membrane down
 
 contact = PointContact(spline, k=1e7, r_max=0.06, r_self=0.25)
-print(f"{spline.ndof} DoFs, {contact.X.shape[0]} collocation points")
+print(f"{spline.ndof} DoFs, {contact.X.shape[0]} collocation points"
+      + (" (mixed-precision CG)" if MIXED else ""))
 
 U = jnp.zeros(spline.ndof, dtype=spline.dtype)
 U_old = U
 mask = spline.mask
+
+if MIXED:
+    import jax
+    import jax.tree_util as jtu
+
+    def _to32(t):
+        return jtu.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, t)
+
+    asm32 = _to32(spline._assembler("dx"))
+    contact32 = _to32(contact)
+    mask32 = mask.astype(jnp.float32)
 
 
 def res(ctx, s, v):
@@ -91,14 +117,32 @@ for step in range(N_STEPS):
         # combined tangent ACTION: shell tangent JVP (BC'd: unit diagonal
         # at constrained DoFs) + masked contact HVP -- never an assembled
         # matrix (reference formulas (25)-(26) applied matrix-free)
-        def A_op(W, state=state, Ui=Ui):
-            return (spline.tangent_action(res, state, W)
-                    + mask * contact.tangent_action(Ui, mask * W))
-
         M = jacobi_preconditioner(
-            spline.assemble_diagonal(res, U=state))
-        dU, _ = cg_fixed_iters(A_op, r, CG_ITERS, M=M)
-        Ui = Ui - dU
+            spline.assemble_diagonal(res, U=state).astype(
+                jnp.float32 if MIXED else spline.dtype))
+        if MIXED:
+            state32 = {k: v.astype(jnp.float32) for k, v in state.items()}
+            Ui32 = Ui.astype(jnp.float32)
+
+            def A_op(W, state32=state32, Ui32=Ui32):
+                act = jax.jvp(
+                    lambda a: asm32.residual_vector(
+                        res, {**state32, "u": a}),
+                    (state32["u"],), (mask32 * W,))[1]
+                act = mask32 * act + (1.0 - mask32) * W
+                return act + mask32 * contact32.tangent_action(
+                    Ui32, mask32 * W)
+
+            dU32, _ = cg_fixed_iters(A_op, r.astype(jnp.float32),
+                                     CG_ITERS, M=M)
+            Ui = Ui - dU32.astype(spline.dtype)
+        else:
+            def A_op(W, state=state, Ui=Ui):
+                return (spline.tangent_action(res, state, W)
+                        + mask * contact.tangent_action(Ui, mask * W))
+
+            dU, _ = cg_fixed_iters(A_op, r, CG_ITERS, M=M)
+            Ui = Ui - dU
     else:
         raise SystemExit("Newton failed to converge")
     U_old, U = U, Ui
