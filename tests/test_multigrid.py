@@ -175,6 +175,24 @@ def test_identity_poisson_multigrid_3d_sumfac():
     assert rate > p + 0.7, (errs, rate)
 
 
+def test_cg_device_iters_matches_fused():
+    """The python-level fixed-iteration PCG (cg_device_iters -- per-op
+    async dispatch, no fused program) must produce the same iterates as
+    the lax.fori_loop variant (the reef demo's MG path relies on it)."""
+    from tigar_tpu.solvers.linear import (cg_fixed_iters, cg_device_iters,
+                                          jacobi_preconditioner)
+    rng = np.random.default_rng(0)
+    n = 40
+    Q = rng.normal(size=(n, n))
+    A = jnp.asarray(Q @ Q.T + n * np.eye(n))
+    b = jnp.asarray(rng.normal(size=n))
+    M = jacobi_preconditioner(jnp.diag(A))
+    x1, r1 = cg_fixed_iters(lambda w: A @ w, b, 15, M=M)
+    x2, r2 = cg_device_iters(lambda w: A @ w, b, 15, M=M)
+    assert np.allclose(np.asarray(x1), np.asarray(x2), atol=1e-11)
+    assert np.allclose(np.asarray(r1), np.asarray(r2), atol=1e-11)
+
+
 def test_mg_vector_field_elasticity():
     """Multi-field transfers: MG-preconditioned CG on a 2-field (vector)
     linear elasticity problem matches the dense direct solve."""

@@ -60,6 +60,41 @@ def cg_fixed_iters(action, b, n_iters, M=None, x0=None):
     return x, r
 
 
+def cg_device_iters(action, b, n_iters, M=None, x0=None):
+    """Fixed-iteration preconditioned CG as a PYTHON-level loop with device
+    scalars: every operation dispatches asynchronously and nothing syncs
+    the host until the caller fetches a value, but no single fused program
+    is ever built.
+
+    Use instead of ``cg_fixed_iters`` when the one-program compile is
+    prohibitive -- e.g. a deep V-cycle preconditioner plus a chunked
+    contact tangent inside the loop body, through this machine's
+    remote-compile tunnel.  Runtime is dispatch-bound but asynchronous;
+    each constituent jitted action compiles once, separately.
+    Returns (x, r)."""
+    if M is None:
+        M = lambda r: r
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    x = x0
+    r = b - action(x)
+    z = M(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    for _ in range(int(n_iters)):
+        Ap = action(p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = jnp.where(pAp != 0.0, rz / pAp, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
+        p = z + beta * p
+        rz = rz_new
+    return x, r
+
+
 def solve_krylov(action, b, x0=None, method="cg", tol=1e-12, atol=0.0,
                  maxiter=None, M=None):
     """Solve action(x) = b matrix-free.
