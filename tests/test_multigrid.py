@@ -175,6 +175,44 @@ def test_identity_poisson_multigrid_3d_sumfac():
     assert rate > p + 0.7, (errs, rate)
 
 
+def test_mg_on_rational_nurbs_geometry():
+    """mg_cg on a genuinely rational (quarter-annulus) NURBS geometry:
+    knot-insertion-refined levels share the EXACT geometry, so the
+    hierarchy is nested and the MG-CG solution matches the direct solve
+    at optimal accuracy."""
+    from tigar_tpu.models.nurbs import (NURBSControlMesh,
+                                        quarter_annulus_control)
+    from tigar_tpu.ops.refine import uniform_refine
+
+    p = 2
+    degrees, kvecs0, ctrl0 = quarter_annulus_control()
+
+    def build(levels_of_refinement):
+        kv, ct = uniform_refine(degrees, kvecs0, ctrl0,
+                                levels=levels_of_refinement)
+        cm = NURBSControlMesh(degrees, kv, ct)
+        gen = EqualOrderSpline(1, cm)
+        basis = gen.get_scalar_spline()
+        for d in (0, 1):
+            for s in (0, 1):
+                gen.add_zero_dofs(0, basis.side_dofs(d, s))
+        return ExtractedSpline(gen, quad_degree=2 * p + 2)
+
+    fine = build(4)          # 16x16 elements
+    coarse = [build(3), build(2)]
+
+    def f_term(ctx, u, v):
+        return jnp.sum(ctx.grad(u) * ctx.grad(v)) - v.val
+
+    U_direct = fine.solve_linear_variational_problem(f_term)
+    fine.set_solver_options(linear_solver="mg_cg", mg_levels=coarse,
+                            linear_tol=1e-12)
+    U_mg = fine.solve_linear_variational_problem(f_term)
+    scale = float(jnp.max(jnp.abs(U_direct)))
+    assert scale > 0.0
+    assert float(jnp.max(jnp.abs(U_mg - U_direct))) < 1e-8 * scale
+
+
 def test_cg_device_iters_matches_fused():
     """The python-level fixed-iteration PCG (cg_device_iters -- per-op
     async dispatch, no fused program) must produce the same iterates as
