@@ -104,6 +104,80 @@ def test_nonmatching_penalty_poisson_converges():
     assert min(rates) > p + 0.6, (errs, rates)
 
 
+def test_nitsche_interface_optimal_rate():
+    """Consistent (symmetric Nitsche) coupling at the stability-scale
+    penalty beta ~ C p^2/h: optimal convergence with no consistency
+    floor."""
+    from tigar_tpu.coupling import NitscheInterfaceCoupling
+    p = 2
+    errs = []
+    for nel in (4, 8, 16):
+        spline, basis = _two_patch_spline(p, nel, 3 * nel // 2)
+        beta = 20.0 * p * p * nel
+        coupling = NitscheInterfaceCoupling(
+            spline, 0, (0, 1), 1, (0, 0), beta=beta)
+        U = _solve_coupled(spline, coupling)
+        errs.append(float(spline.errornorm(U, lambda ctx: _soln(ctx.x),
+                                           rationalize=False)))
+    rates = [math.log(errs[i - 1] / errs[i]) / math.log(2.0)
+             for i in range(1, len(errs))]
+    assert errs[-1] < 5e-5, errs
+    assert min(rates) > p + 0.6, (errs, rates)
+
+
+def _soln_flux(x):
+    """Manufactured solution with NONZERO normal flux at the x=1 interface
+    (the symmetric sin(pi x/2) solution has du/dx(1) = 0, which hides the
+    penalty method's consistency error): u = (-x^3+x^2+2x) sin(pi y)."""
+    f = -x[0] ** 3 + x[0] ** 2 + 2.0 * x[0]
+    return f * jnp.sin(jnp.pi * x[1])
+
+
+def _res_flux(ctx, u, v):
+    x = ctx.x
+    f = -x[0] ** 3 + x[0] ** 2 + 2.0 * x[0]
+    rhs = (6.0 * x[0] - 2.0 + jnp.pi ** 2 * f) * jnp.sin(jnp.pi * x[1])
+    return jnp.sum(ctx.grad(u) * ctx.grad(v)) - rhs * v.val
+
+
+def _solve_coupled_form(spline, coupling, form):
+    mask = spline.mask
+    U0 = jnp.zeros(spline.ndof, dtype=spline.dtype)
+    r = spline.assemble_vector(form, U=U0) + mask * coupling.residual(U0)
+    A = spline.assemble_matrix(form, U=U0)
+    Kc = jax.jacfwd(lambda uu: mask * coupling.residual(uu))(U0)
+    return U0 - jnp.linalg.solve(A + Kc, r)
+
+
+def test_nitsche_no_consistency_floor():
+    """At the same moderate beta, the consistent Nitsche coupling must be
+    far more accurate than pure penalty (whose error floor is
+    O(flux/beta)); measured at beta=300, nel=16: penalty 6.6e-4 vs
+    Nitsche 3.6e-5 -- and the Nitsche result even beats the penalty
+    beta->inf limit (8.7e-5), which over-constrains the non-matching
+    jump."""
+    from tigar_tpu.coupling import NitscheInterfaceCoupling
+    p, nel = 2, 16
+    beta = 300.0
+
+    spline_p, _ = _two_patch_spline(p, nel, 3 * nel // 2)
+    c_pen = PenaltyInterfaceCoupling(
+        spline_p, 0, (0, 1), 1, (0, 0), penalty=beta)
+    e_pen = float(spline_p.errornorm(
+        _solve_coupled_form(spline_p, c_pen, _res_flux),
+        lambda ctx: _soln_flux(ctx.x), rationalize=False))
+
+    spline_n, _ = _two_patch_spline(p, nel, 3 * nel // 2)
+    c_nit = NitscheInterfaceCoupling(
+        spline_n, 0, (0, 1), 1, (0, 0), beta=beta)
+    e_nit = float(spline_n.errornorm(
+        _solve_coupled_form(spline_n, c_nit, _res_flux),
+        lambda ctx: _soln_flux(ctx.x), rationalize=False))
+
+    assert e_nit < 0.2 * e_pen, (e_nit, e_pen)
+    assert e_nit < 1e-4, e_nit
+
+
 def test_flipped_interface_parameterization():
     """Reversing patch B's free direction and declaring flips=(True,)
     must give the identical coupled solution."""

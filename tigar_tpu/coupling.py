@@ -225,6 +225,12 @@ class PenaltyInterfaceCoupling:
         self.w_b = jnp.asarray(wb, dtype=dtype)
         self.wq = jnp.asarray(wq, dtype=dtype)
         self._offsets = [int(space.offsets[f]) for f in self.fields]
+        # host-side stash for subclasses (plain attributes, NOT pytree
+        # children/aux -- numpy arrays are unhashable as jit cache keys)
+        self._host = dict(pa=pa, pb=pb, xi_a=xi_a, xi_b=xi_b,
+                          bnet_a=bnet_a, bnet_b=bnet_b,
+                          dir_a=dir_a, sd_a=sd_a, dir_b=dir_b, sd_b=sd_b,
+                          off_a=int(off_a), off_b=int(off_b), dtype=dtype)
 
     @property
     def area(self):
@@ -288,3 +294,142 @@ def _coupling_residual(coupling, U):
 def _coupling_tangent(coupling, U, W):
     # the energy is quadratic: the HVP is exact and U-independent
     return jax.jvp(lambda a: jax.grad(coupling.energy)(a), (U,), (W,))[1]
+
+
+# -- consistent (Nitsche) coupling ---------------------------------------------------
+
+
+def _phys_grad_weights(patch, bnet_patch, xi):
+    """Per-point sparse PHYSICAL-gradient rows of the rationalized scalar
+    field on a 2D patch in 2D physical space:
+
+        grad_x u(q) = sum_i Pg[q, i, :] * c_i    (exact quotient rule)
+
+    Returns (conn [nq, nen] local indices, Pg [nq, nen, 2], x [nq, 2]
+    physical points, DF [nq, 2, 2] geometry Jacobian columns dx/dxi_d).
+    """
+    if patch.dim != 2 or bnet_patch.shape[1] != 3:
+        raise NotImplementedError("Nitsche coupling supports 2D patches "
+                                  "in 2D physical space")
+    nq = xi.shape[0]
+    nodes_d, ders_d = [], []
+    for d, kv in enumerate(patch.kvs):
+        nd, ders = eval_basis(kv, xi[:, d], 1)
+        nodes_d.append(nd)
+        ders_d.append(ders)
+
+    def accumulate(der_dir):
+        conn = nodes_d[0]
+        vals = ders_d[0][:, 1 if der_dir == 0 else 0, :]
+        stride = patch.kvs[0].ncp
+        for d in range(1, patch.dim):
+            v_d = ders_d[d][:, 1 if der_dir == d else 0, :]
+            conn = (conn[:, :, None]
+                    + stride * nodes_d[d][:, None, :]).reshape(nq, -1)
+            vals = (vals[:, :, None] * v_d[:, None, :]).reshape(nq, -1)
+            stride *= patch.kvs[d].ncp
+        return conn, vals
+
+    conn, N = accumulate(-1)
+    dN = np.stack([accumulate(0)[1], accumulate(1)[1]], axis=-1)  # [nq,nen,2]
+    Bh = bnet_patch[conn]                                  # [nq, nen, 3]
+    w = np.einsum("qa,qa->q", N, Bh[..., -1])
+    Xh = np.einsum("qa,qac->qc", N, Bh)
+    x = Xh[:, :2] / w[:, None]
+    dw = np.einsum("qad,qa->qd", dN, Bh[..., -1])          # [nq, 2]
+    dXh = np.einsum("qad,qac->qcd", dN, Bh)                # [nq, 3, 2]
+    DF = (dXh[:, :2, :] - x[:, :, None] * dXh[:, 2:, :]) / w[:, None, None]
+    # parametric gradient weights with rational correction
+    G = (dN - N[:, :, None] * (dw / w[:, None])[:, None, :]) \
+        / w[:, None, None]                                 # [nq, nen, 2]
+    # physical: DF^{-T} G  (2x2 closed-form inverse)
+    det = DF[:, 0, 0] * DF[:, 1, 1] - DF[:, 0, 1] * DF[:, 1, 0]
+    DFinvT = np.empty_like(DF)
+    DFinvT[:, 0, 0] = DF[:, 1, 1] / det
+    DFinvT[:, 0, 1] = -DF[:, 1, 0] / det
+    DFinvT[:, 1, 0] = -DF[:, 0, 1] / det
+    DFinvT[:, 1, 1] = DF[:, 0, 0] / det
+    Pg = np.einsum("qde,qae->qad", DFinvT, G)
+    return conn, Pg, x, DF
+
+
+class NitscheInterfaceCoupling(PenaltyInterfaceCoupling):
+    """CONSISTENT (symmetric Nitsche) coupling of a non-matching 2D
+    multi-patch interface.  The coupling derives from the quadratic
+    functional
+
+        E(U) = sum_q w_q ( -{du/dn}(q) [u](q) + beta/2 [u](q)^2 )
+
+    whose first variation is the standard symmetric Nitsche interface
+    form  -{du/dn}[v] - {dv/dn}[u] + beta [u][v]:  unlike pure penalty
+    there is NO O(1/beta) consistency error, so ``beta`` only needs the
+    stability scale ~C p^2 / h instead of a consistency-driven 1e8.
+    {du/dn} is the average of the two one-sided physical normal
+    derivatives (rational quotient rule exact), with the normal taken
+    from side A oriented toward patch B.
+
+    Same usage as PenaltyInterfaceCoupling (residual/tangent_action are
+    AD of the energy; jitted with the object as a pytree)."""
+
+    def __init__(self, spline, patch_a, side_a, patch_b, side_b, beta,
+                 flips=None, fields=None, quad_degree=None, geom_tol=1e-8):
+        super().__init__(spline, patch_a, side_a, patch_b, side_b,
+                         penalty=beta, flips=flips, fields=fields,
+                         quad_degree=quad_degree, geom_tol=geom_tol)
+        h = self._host
+        conn_a, Pg_a, x_a, DF_a = _phys_grad_weights(
+            h["pa"], h["bnet_a"], h["xi_a"])
+        conn_b, Pg_b, _, _ = _phys_grad_weights(
+            h["pb"], h["bnet_b"], h["xi_b"])
+
+        # interface normal from side A's tangent (the free direction's
+        # geometry-Jacobian column), oriented toward patch B's interior
+        free_a = 1 - h["dir_a"]
+        t = DF_a[:, :, free_a]
+        n = np.stack([t[:, 1], -t[:, 0]], axis=-1)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        xi_b_in = np.array(h["xi_b"])
+        xi_b_in[:, h["dir_b"]] = 0.05 if h["sd_b"] == 0 else 0.95
+        _, _, x_b_in, _ = _phys_grad_weights(h["pb"], h["bnet_b"], xi_b_in)
+        sign = np.sign(np.einsum("qc,qc->q", n, x_b_in - x_a))
+        if not (np.all(sign > 0) or np.all(sign < 0)):
+            raise ValueError("inconsistent interface normal orientation")
+        n *= sign[:, None]
+
+        dtype = h["dtype"]
+        # flux rows: fvals[q, i] = n(q) . Pg[q, i, :]  (rationalized)
+        self.fvals_a = jnp.asarray(np.einsum("qad,qd->qa", Pg_a, n),
+                                   dtype=dtype)
+        self.fvals_b = jnp.asarray(np.einsum("qad,qd->qa", Pg_b, n),
+                                   dtype=dtype)
+
+    def energy(self, U):
+        e = 0.0
+        for off in self._offsets:
+            ua = self._side_value(U, off, self.conn_a, self.vals_a, self.w_a)
+            ub = self._side_value(U, off, self.conn_b, self.vals_b, self.w_b)
+            fa = jnp.einsum("qa,qa->q", self.fvals_a, U[off + self.conn_a])
+            fb = jnp.einsum("qa,qa->q", self.fvals_b, U[off + self.conn_b])
+            jump = ua - ub
+            flux = 0.5 * (fa + fb)
+            e = e + jnp.sum(self.wq * (-flux * jump
+                                       + 0.5 * self.penalty * jump ** 2))
+        return e
+
+    # -- pytree protocol (adds the flux rows) -----------------------------------
+
+    def tree_flatten(self):
+        children, aux = super().tree_flatten()
+        return children + (self.fvals_a, self.fvals_b), aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = super().tree_unflatten(aux, children[:-2])
+        obj.fvals_a, obj.fvals_b = children[-2:]
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    NitscheInterfaceCoupling,
+    lambda c: c.tree_flatten(),
+    NitscheInterfaceCoupling.tree_unflatten)
