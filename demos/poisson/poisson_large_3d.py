@@ -10,7 +10,10 @@ Two solver paths (SOLVER env var), both measured on one v5e at 96^3
   mg (default): geometric-multigrid-preconditioned f64 CG with a float32
       V-cycle (5 nested levels, exact knot-insertion transfers,
       solvers/multigrid.py) -- 20 h-INDEPENDENT iterations to 8e-12
-      relative residual, 23 s warm;
+      relative residual, 8.2 s warm with Jacobi V(2,2) smoothing
+      (fully cached; first call pays one compile).  Chebyshev smoothing
+      (Multigrid.enable_chebyshev) reaches 5e-17 -- f64 machine zero --
+      in the same 20 iterations at ~2x the per-cycle cost;
   refine: mixed-precision iterative refinement (f32 CG sweeps inside,
       f64 residuals outside, solvers/refinement.py) -- 5e-13 in 39 s,
       but the inner unpreconditioned CG iteration count grows ~1/h.
