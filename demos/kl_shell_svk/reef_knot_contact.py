@@ -221,7 +221,12 @@ for step in range(N_STEPS):
                 return (spline.tangent_action(res, state, W)
                         + mask * contact.tangent_action(Ui, mask * W))
 
-            dU, _ = cg_fixed_iters(A_op, r, CG_ITERS, M=M)
+            # cg_device_iters whenever MG is on, independent of MIXED:
+            # tracing the deep V-cycle inside one fused fori_loop program
+            # is compile-prohibitive through the remote tunnel (and >60 s
+            # fused programs have crashed the TPU worker)
+            cg = cg_device_iters if MG else cg_fixed_iters
+            dU, _ = cg(A_op, r, CG_ITERS, M=M)
             Ui = Ui - dU
     else:
         raise SystemExit("Newton failed to converge")

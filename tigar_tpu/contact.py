@@ -108,10 +108,17 @@ class PointContact:
         self.quad_w = W[space.field_slice(0)]
 
         # static reference-distance exclusion mask (R_self and self-pairs),
-        # stored as bool (n^2 bytes, not n^2 doubles: 10^4 points -> 100 MB)
+        # stored as bool (n^2 bytes, not n^2 doubles) and computed in row
+        # blocks so the f64 distance transient stays O(block * n), not
+        # O(n^2) (~740 MB at the reef demo's 9604 points)
         Xn = np.asarray(self.X)
-        R = np.linalg.norm(Xn[:, None, :] - Xn[None, :, :], axis=-1)
-        self.pair_mask = jnp.asarray(R > self.r_self)
+        mask = np.empty((n, n), dtype=bool)
+        blk = max(1, min(n, (1 << 22) // max(n, 1)))  # ~32 MB f64 transient
+        for i0 in range(0, n, blk):
+            d2 = np.sum((Xn[i0:i0 + blk, None, :] - Xn[None, :, :]) ** 2,
+                        axis=-1)
+            mask[i0:i0 + blk] = d2 > self.r_self ** 2
+        self.pair_mask = jnp.asarray(mask)
 
         if self.row_chunk is None and n > 4096:
             self.row_chunk = 2048

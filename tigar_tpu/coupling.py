@@ -251,8 +251,16 @@ class PenaltyInterfaceCoupling:
         return 0.5 * self.penalty * e
 
     def jump_norm(self, U):
-        """L2 norm of the interface jump (diagnostic)."""
-        return jnp.sqrt(2.0 * self.energy(U) / self.penalty)
+        """L2 norm of the interface jump (diagnostic).  Computed directly
+        from the jump -- NOT back-solved from the energy, which for the
+        Nitsche subclass contains the -flux*jump term and can be
+        negative."""
+        s = 0.0
+        for off in self._offsets:
+            ua = self._side_value(U, off, self.conn_a, self.vals_a, self.w_a)
+            ub = self._side_value(U, off, self.conn_b, self.vals_b, self.w_b)
+            s = s + jnp.sum(self.wq * (ua - ub) ** 2)
+        return jnp.sqrt(s)
 
     def residual(self, U):
         return _coupling_residual(self, U)

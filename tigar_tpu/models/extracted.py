@@ -489,11 +489,22 @@ class ExtractedSpline:
                                  "set_solver_options(mg_levels=[...])")
             from ..solvers.multigrid import Multigrid
             fkey, _, _ = self._form_key(form)
-            mg = self._mg_cache.get(fkey)
-            if mg is None:
+            # key includes the params VALUES (hashed leaves): a later solve
+            # with different params (changed dt, load...) must rebuild the
+            # V-cycle rather than silently reuse stale level operators
+            if params is None:
+                pkey = None
+            else:
+                leaves, treedef = jax.tree_util.tree_flatten(params)
+                pkey = (str(treedef),
+                        tuple(np.asarray(leaf).tobytes() for leaf in leaves))
+            cached = self._mg_cache.get(fkey)
+            if cached is not None and cached[0] == pkey:
+                mg = cached[1]
+            else:
                 mg = Multigrid([self] + self.mg_levels, form, params=params,
                                n_smooth=self.mg_smooth, omega=self.mg_omega)
-                self._mg_cache[fkey] = mg
+                self._mg_cache[fkey] = (pkey, mg)
             action = self.matrix_operator(form, U=U, apply_bcs=apply_bcs,
                                           params=params)
             return solve_krylov(action, rhs, method="cg",

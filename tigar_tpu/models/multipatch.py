@@ -324,7 +324,18 @@ def merge_coincident_dofs(basis: MultiPatchBSplineBasis, bnets, tol=1e-10):
     B = np.concatenate(flat, axis=0)
     x = B[:, :-1] / B[:, -1:]
     n = x.shape[0]
-    d = np.linalg.norm(x[:, None, :] - x[None, :, :], axis=-1)
+
+    # spatial-hash buckets of cell size 2*tol: a pair within tol always
+    # lands in the same or an adjacent cell, so candidate pairs come from
+    # the 3^d neighbor cells only -- O(n) memory instead of the former
+    # [n, n] f64 distance matrix
+    from itertools import product as _iproduct
+    cell = 2.0 * max(tol, np.finfo(np.float64).tiny)
+    q = np.floor(x / cell).astype(np.int64)
+    buckets = {}
+    for i, key in enumerate(map(tuple, q)):
+        buckets.setdefault(key, []).append(i)
+    offsets = list(_iproduct(*([(-1, 0, 1)] * x.shape[1])))
 
     # union-find with path compression over the d<tol adjacency graph
     owner = np.arange(n)
@@ -337,11 +348,18 @@ def merge_coincident_dofs(basis: MultiPatchBSplineBasis, bnets, tol=1e-10):
             owner[i], i = root, owner[i]
         return root
 
+    tol2 = tol * tol
     for i in range(n):
-        for j in np.where(d[i, :i] < tol)[0]:
-            ri, rj = find(i), find(int(j))
-            if ri != rj:
-                owner[max(ri, rj)] = min(ri, rj)
+        qi = tuple(q[i])
+        for off in offsets:
+            key = tuple(a + b for a, b in zip(qi, off))
+            for j in buckets.get(key, ()):
+                if j >= i:
+                    continue
+                if np.sum((x[i] - x[j]) ** 2) < tol2:
+                    ri, rj = find(i), find(int(j))
+                    if ri != rj:
+                        owner[max(ri, rj)] = min(ri, rj)
     roots = np.asarray([find(i) for i in range(n)])
     uniq, merged = np.unique(roots, return_inverse=True)
 

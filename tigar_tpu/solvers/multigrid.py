@@ -283,7 +283,8 @@ class Multigrid:
         ``n_smooth + 1`` (one Chebyshev application replaces each Jacobi
         sweep block, so pre- and post-smoothing each apply one degree-k
         polynomial)."""
-        self._cheb_degree = int(degree) if degree else self.n_smooth + 1
+        self._cheb_degree = (int(degree) if degree is not None
+                             else self.n_smooth + 1)
         self._cheb_bounds = []
         for level in range(len(self.levels) - 1):
             lev = self.levels[level]
@@ -295,7 +296,7 @@ class Multigrid:
                 w = lev["dinv"] * self._action(level, v)
                 lmax = float(jnp.linalg.norm(w))
                 v = w / lmax
-            self._cheb_bounds.append((lower_fraction * upper_margin * lmax,
+            self._cheb_bounds.append((lower_fraction * lmax,
                                       upper_margin * lmax))
         return self
 
