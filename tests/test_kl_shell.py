@@ -165,3 +165,47 @@ def test_hyperelastic_inflation():
     assert incr[-1] < incr[0], centers
     # the deflection should be a sizable fraction of the span at this load
     assert 0.05 < centers[-1] < 1.0, centers
+
+
+def test_adjoint_matches_ad():
+    """Adjoint-form (AD-free) assembly: the hand-derived adjoint jet
+    (svk_shell_adjoint) and the generic pointwise-grad fallback
+    (forms.adjoint_of) must assemble the SAME residual as the reverse-mode
+    AD path, and the forward-mode tangent adjoint must match the tangent
+    JVP -- all to f64 roundoff at a large random displacement."""
+    import jax
+    from tigar_tpu.models.shell import (svk_shell_residual,
+                                        svk_shell_adjoint,
+                                        svk_shell_tangent_adjoint,
+                                        precompute_shell_reference)
+    from tigar_tpu.forms import adjoint_of
+    E_mod, nu, h_th, q = 1.0e7, 0.3, 0.03, 1.0e-2
+
+    def res(ctx, u, v):
+        return svk_shell_residual(ctx, u, v, E_mod, nu, h_th) - q * v.val[2]
+
+    def res_adj(ctx, u):
+        F = svk_shell_adjoint(ctx, u, E_mod, nu, h_th)
+        return F._replace(val=F.val.at[2].add(-q))
+
+    def tan_adj(ctx, u):
+        return svk_shell_tangent_adjoint(ctx, u["u"], u["w"],
+                                         E_mod, nu, h_th)
+
+    spline = precompute_shell_reference(make_shell_spline(6))
+    asm = spline._assembler("dx")
+    rng = np.random.default_rng(1)
+    U = jnp.asarray(rng.normal(size=spline.ndof) * 0.1)
+    W = jnp.asarray(rng.normal(size=spline.ndof))
+
+    r_ad = asm.residual_vector(res, U)
+    m = float(jnp.max(jnp.abs(r_ad)))
+    r_hand = asm.residual_vector_adjoint(res_adj, U)
+    assert float(jnp.max(jnp.abs(r_hand - r_ad))) < 1e-13 * m
+    r_gen = asm.residual_vector_adjoint(adjoint_of(res), U)
+    assert float(jnp.max(jnp.abs(r_gen - r_ad))) < 1e-13 * m
+
+    t_ref = jax.jvp(lambda a: asm.residual_vector(res, a), (U,), (W,))[1]
+    mt = float(jnp.max(jnp.abs(t_ref)))
+    t_hand = asm.residual_vector_adjoint(tan_adj, {"u": U, "w": W})
+    assert float(jnp.max(jnp.abs(t_hand - t_ref))) < 1e-13 * mt

@@ -317,6 +317,33 @@ def deriv(f, u, v):
     return jax.jvp(f, (u,), (v,))[1]
 
 
+def _zero_test_jet(u):
+    """Zero Jet with the structure of the unknown's jet (the test-function
+    structure of an equal-order space)."""
+    uu = u["u"] if isinstance(u, dict) else u
+    import jax
+    return jax.tree_util.tree_map(jnp.zeros_like, uu)
+
+
+def adjoint_of(density):
+    """Adjoint-jet form of a residual density: returns a callable
+    ``adj(ctx, u[, params]) -> Jet F`` with
+    ``density(ctx, u, v) == sum(F.val*v.val) + sum(F.g*v.g) + sum(F.h*v.h)``
+    for every test jet ``v`` (exact because residual densities are linear
+    in the test jet).  Computed as the pointwise gradient with respect to a
+    zero test jet -- AD stays at the quadrature point; the assembly-level
+    contraction becomes an explicit einsum
+    (ops/assembly.residual_vector_adjoint).  For hot densities, provide a
+    hand-derived adjoint instead (models/shell.svk_shell_adjoint)."""
+    import jax
+
+    def adj(ctx, u, *params):
+        v0 = _zero_test_jet(u)
+        return jax.grad(lambda v: density(ctx, u, v, *params))(v0)
+
+    return adj
+
+
 # ---- UFL-flavoured helpers ---------------------------------------------------
 
 def inner(a, b):

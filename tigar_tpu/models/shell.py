@@ -20,7 +20,7 @@ from typing import NamedTuple, Any
 import jax
 import jax.numpy as jnp
 
-from ..forms import taylor_eval
+from ..forms import Jet, taylor_eval
 from ..ops.smallmat import det_small, inv_small
 
 
@@ -268,6 +268,95 @@ def svk_shell_residual(ctx, y, v, E_mod, nu, h_th):
     db_uns = -(dG.T @ deriv_a2 + G.T @ dderiv_a2)
     d_cur_b = 0.5 * (db_uns + db_uns.T)
     return (jnp.sum(Nb * (0.5 * d_cur_a)) + jnp.sum(Mb * d_cur_b))
+
+
+def svk_shell_adjoint(ctx, y, E_mod, nu, h_th):
+    """ADJOINT JET of the SVK shell residual: the Jet F = (Fval, Fg, Fh)
+    with  svk_shell_residual(ctx, y, v, ...) == sum(F.g * v.g)
+    + sum(F.h * v.h)  for every test jet v (Fval = 0; add external loads
+    on top).  Assembling with ops/assembly.residual_vector_adjoint then
+    involves NO reverse-mode AD at all -- the v-contraction becomes an
+    explicit einsum with the tabulations.  On TPU this is the fast
+    emulated-f64 path: the reverse sweep through the residual density
+    generates far more f64-emulation code than these closed forms.
+
+    Derivation (transpose of the linear tail of svk_shell_residual, all
+    cross-product transposes via the triple-product identity
+    t.(a x b) = a.(b x t) = b.(t x a)):
+
+      dW = Nb : (0.5 d_cur_a) + Mb : d_cur_b
+         = dG : (G Nb - deriv_a2 Mb) + S : dderiv_a2,     S := -G Mb
+      S : dderiv_a2 = sum_c R_c . ddn_c + t . dnt
+      with   R_c = (S_c - (S_c.a2) a2)/nn
+             Q   = -(S @ a2dn + dn @ (a2 @ S))/nn
+             rho = -(S : deriv_a2)/nn
+             t   = (Q - (Q.a2) a2)/nn + rho a2
+      and the cross-transposes
+             t . dnt      -> Fg[:,0] += a1 x t,   Fg[:,1] += t x a0
+             R_c . ddn_c  -> Fh[:,0,c] = a1 x R_c, Fh[:,1,c] = R_c x a0,
+                             Fg[:,0] += sum_c H[:,1,c] x R_c,
+                             Fg[:,1] += sum_c R_c x H[:,0,c].
+
+    Identity with AD pinned in
+    tests/test_kl_shell.py::test_adjoint_matches_ad.
+    """
+    sref = ctx.aux["shell_ref"]
+    ref_a, ref_b, ea = sref.a, sref.b, sref.ea
+
+    # primal (identical to svk_shell_residual) -------------------------------
+    G = ctx.DF + y.g                                  # [3, 2]
+    H = ctx.d2F + y.h                                 # [3, 2, 2]
+    a0, a1 = G[:, 0], G[:, 1]
+    n = jnp.cross(a0, a1)
+    nn = jnp.sqrt(jnp.dot(n, n))
+    a2 = n / nn
+    dn = (jnp.cross(H[:, 0, :], a1[:, None], axisa=0, axisb=0, axisc=0)
+          + jnp.cross(a0[:, None], H[:, 1, :], axisa=0, axisb=0, axisc=0))
+    a2dn = a2 @ dn                                    # [2]
+    deriv_a2 = (dn - a2[:, None] * a2dn[None, :]) / nn
+    cur_a = G.T @ G
+    b_uns = -(G.T @ deriv_a2)
+    cur_b = 0.5 * (b_uns + b_uns.T)
+    eps = ea @ (0.5 * (cur_a - ref_a)) @ ea.T
+    kap = ea @ (cur_b - ref_b) @ ea.T
+    lam_ps = E_mod * nu / (1.0 - nu ** 2)
+    mu = E_mod / (2.0 * (1.0 + nu))
+    I2 = jnp.eye(2, dtype=eps.dtype)
+    Nm = h_th * (lam_ps * jnp.trace(eps) * I2 + 2.0 * mu * eps)
+    Mm = h_th ** 3 / 12.0 * (lam_ps * jnp.trace(kap) * I2 + 2.0 * mu * kap)
+    Nb = ea.T @ Nm @ ea
+    Mb = ea.T @ Mm @ ea
+
+    # adjoint ----------------------------------------------------------------
+    S = -(G @ Mb)                                     # [3, 2]
+    Sa2 = a2 @ S                                      # [2]  (S_c . a2)
+    R = (S - a2[:, None] * Sa2[None, :]) / nn         # [3, 2]
+    Q = -(S @ a2dn + dn @ Sa2) / nn                   # [3]
+    rho = -jnp.sum(S * deriv_a2) / nn
+    t = (Q - a2 * jnp.dot(a2, Q)) / nn + rho * a2     # [3]
+
+    Fg = G @ Nb - deriv_a2 @ Mb                       # [3, 2]
+    cross_c = lambda A, B: jnp.cross(A, B, axisa=0, axisb=0, axisc=0)
+    Fg = Fg.at[:, 0].add(jnp.cross(a1, t)
+                         + jnp.sum(cross_c(H[:, 1, :], R), axis=1))
+    Fg = Fg.at[:, 1].add(jnp.cross(t, a0)
+                         + jnp.sum(cross_c(R, H[:, 0, :]), axis=1))
+    Fh = jnp.stack([cross_c(jnp.broadcast_to(a1[:, None], R.shape), R),
+                    cross_c(R, jnp.broadcast_to(a0[:, None], R.shape))],
+                   axis=1)                            # [3, 2(row i), 2(c)]
+    return Jet(jnp.zeros(3, dtype=Fg.dtype), Fg, Fh)
+
+
+def svk_shell_tangent_adjoint(ctx, y, w, E_mod, nu, h_th):
+    """Directional derivative of the adjoint jet: the Jet dF with
+    d/de svk_shell_residual(ctx, y + e*w, v, ...) == sum(dF.g * v.g)
+    + sum(dF.h * v.h).  Assembling dF over the test space gives the exact
+    tangent ACTION K(y) @ W with forward-mode AD only (JVP through the
+    closed-form adjoint) -- no reverse sweep anywhere, which is the cheap
+    structure for emulated f64."""
+    import jax as _jax
+    return _jax.jvp(lambda yy: svk_shell_adjoint(ctx, yy, E_mod, nu, h_th),
+                    (y,), (w,))[1]
 
 
 def svk_psi_surface(ctx, y, E_mod, nu, h_th):

@@ -279,6 +279,117 @@ class DomainAssembler:
         return self.scatter_vector(
             self.element_residuals(density, U, params=params))
 
+    # -- adjoint-form assembly (no assembly-level AD) ----------------------------
+
+    def _contract_adjoint(self, F, scale_e, Ns_e, dNs_e, d2Ns_e, masks_e):
+        """Transpose of ``_local_jets``: contract a weighted adjoint jet
+        F (leaves [nq, ...]) with the tabulations -> local vector [nloc]."""
+        parts = []
+        for f in range(self.nfields):
+            if self.nfields == 1:
+                Fval, Fg, Fh = F.val, F.g, F.h
+            else:
+                Fval = None if F.val is None else F.val[:, f]
+                Fg = None if F.g is None else F.g[:, f]
+                Fh = None if F.h is None else F.h[:, f]
+            r = jnp.zeros(Ns_e[f].shape[1], dtype=scale_e.dtype)
+            if Fval is not None:
+                r = r + jnp.einsum("q,qa->a", scale_e * Fval, Ns_e[f])
+            if Fg is not None and dNs_e[f] is not None:
+                r = r + jnp.einsum("qd,qad->a", scale_e[:, None] * Fg,
+                                   dNs_e[f])
+            if Fh is not None and d2Ns_e[f] is not None:
+                r = r + jnp.einsum("qdc,qadc->a",
+                                   scale_e[:, None, None] * Fh, d2Ns_e[f])
+            if masks_e[f] is not None:
+                r = r * masks_e[f]
+            parts.append(r)
+        return jnp.concatenate(parts)
+
+    def element_residuals_adjoint(self, adjoint_density, U, params=None):
+        """[nel, nloc] element residuals WITHOUT assembly-level AD.
+
+        ``adjoint_density(ctx, u[, params])`` returns the ADJOINT JET
+        F = (Fval, Fg, Fh) of the residual density with respect to the test
+        jet: res(ctx, u, v) == sum(Fval*v.val) + sum(Fg*v.g) + sum(Fh*v.h).
+        Assembly is then a pure einsum contraction with the tabulations (the
+        exact transpose of the jet evaluation) -- no reverse-mode AD in the
+        element kernel.  This is the fast path for emulated-f64 TPU
+        assembly, where the reverse sweep through a pointwise density
+        generates far more emulation code than the explicit adjoint
+        (models/shell.svk_shell_adjoint; forms.adjoint_of for the generic
+        AD-at-a-point fallback)."""
+        def elem(args):
+            Ue_e, ctx_e, scale_e, Ns_e, dNs_e, d2Ns_e, masks_e = args
+            uj = _tree_local_jets(self, Ue_e, Ns_e, dNs_e, d2Ns_e, masks_e)
+            F = _vmap_density(adjoint_density, params)(ctx_e, uj)
+            return self._contract_adjoint(F, scale_e, Ns_e, dNs_e, d2Ns_e,
+                                          masks_e)
+
+        xs = self._elem_xs(self._gather_local(U))
+        return self._map_elements(elem, xs)
+
+    def residual_vector_adjoint(self, adjoint_density, U, params=None):
+        """Assembled residual from an adjoint-jet density (see
+        ``element_residuals_adjoint``)."""
+        return self.scatter_vector(
+            self.element_residuals_adjoint(adjoint_density, U,
+                                           params=params))
+
+    def element_matrices_adjoint(self, adjoint_density, U, params=None):
+        """[nel, nloc, nloc] element tangent matrices via the POINTWISE
+        jet-Hessian of an adjoint-jet density (see
+        ``element_residuals_adjoint``): forward-mode AD stays at the
+        quadrature point over the small jet vector (dim J ~ nf*(1+d+d^2)),
+        and the local matrices come out as two batched MXU contractions
+
+            K[q] = d(F_flat)/d(u_flat)   [J, J]   (jacfwd, J directions)
+            E    = sum_q w_q B[q]^T K[q] B[q],    B[q] = d(u_flat)/d(uloc)
+
+        versus ``element_matrices``'s nested reverse-over-forward AD over
+        the nloc-dim local space.  B is the exact linearization of the
+        (linear) local jet evaluation, so E is exact."""
+        from jax.flatten_util import ravel_pytree
+
+        dtype = self.scale.dtype
+        is_dict = isinstance(U, dict)
+
+        def elem(args):
+            Ue_e, ctx_e, scale_e, Ns_e, dNs_e, d2Ns_e, masks_e = args
+            uloc = Ue_e["u"] if is_dict else Ue_e
+            uj = self._local_jets(uloc, Ns_e, dNs_e, d2Ns_e, masks_e)
+            u0 = jax.tree_util.tree_map(lambda x: x[0], uj)
+            _, unravel = ravel_pytree(u0)
+
+            def flat_jets(ul):
+                jets = self._local_jets(ul, Ns_e, dNs_e, d2Ns_e, masks_e)
+                return jax.vmap(lambda *ls: ravel_pytree(
+                    jax.tree_util.tree_unflatten(
+                        jax.tree_util.tree_structure(u0), ls))[0])(
+                    *jax.tree_util.tree_leaves(jets))
+
+            B = jax.jacfwd(flat_jets)(jnp.zeros(self.nloc, dtype=dtype))
+
+            aux = {k: self._local_jets(v, Ns_e, dNs_e, d2Ns_e, masks_e)
+                   for k, v in Ue_e.items() if k != "u"} if is_dict else {}
+
+            def point_F(u_flat, ctx_q, aux_q):
+                u = unravel(u_flat)
+                uu = {"u": u, **aux_q} if is_dict else u
+                if params is None:
+                    F = adjoint_density(ctx_q, uu)
+                else:
+                    F = adjoint_density(ctx_q, uu, params)
+                return ravel_pytree(F)[0]
+
+            u_flat = flat_jets(uloc)
+            K = jax.vmap(jax.jacfwd(point_F))(u_flat, ctx_e, aux)
+            KB = jnp.einsum("qJK,qKb->qJb", K, B)
+            return jnp.einsum("qJa,qJb,q->ab", B, KB, scale_e)
+
+        xs = self._elem_xs(self._gather_local(U))
+        return self._map_elements(elem, xs)
+
     # -- per-element explicit matrices ------------------------------------------
 
     def _split_local(self, uloc):

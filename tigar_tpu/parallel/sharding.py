@@ -70,12 +70,24 @@ def shard_assembler(asm, mesh):
     nel_padded = ((nel + n_shards - 1) // n_shards) * n_shards
 
     elem_sharding = NamedSharding(mesh, P(ELEMENT_AXIS))
+    from .distributed import global_put
 
     def place(x):
         if x is None:
             return None
         x = _pad_elements(x, nel, nel_padded)
-        return jax.device_put(x, elem_sharding)
+        return global_put(x, elem_sharding)
+
+    # zero the quadrature scale of padded elements on the HOST copy so
+    # they are inert (before placement: in multi-process runs the placed
+    # global array is not fully addressable from one process)
+    asm_scale = np.asarray(asm.scale)
+    if nel_padded != nel:
+        scale_padded = _pad_elements(asm_scale, nel, nel_padded)
+        mask = np.arange(nel_padded) < nel
+        scale_host = scale_padded * mask[:, None]
+    else:
+        scale_host = asm_scale
 
     children, aux = asm.tree_flatten()
     placed = jax.tree_util.tree_map(place, children)
@@ -83,18 +95,14 @@ def shard_assembler(asm, mesh):
     # chunked lax.map would reshape the sharded element axis; per-device
     # memory is already bounded by the shard, so disable chunking here
     out.chunk = None
-    # zero the quadrature scale of padded elements so they are inert
-    if nel_padded != nel:
-        import jax.numpy as jnp
-        scale = out.scale
-        mask = jnp.arange(nel_padded) < nel
-        out.scale = jax.device_put(scale * mask[:, None], elem_sharding)
+    out.scale = global_put(scale_host, elem_sharding)
     return out
 
 
 def replicate(x, mesh):
     """Place an array fully replicated on the mesh."""
-    return jax.device_put(x, NamedSharding(mesh, P()))
+    from .distributed import global_put
+    return global_put(x, NamedSharding(mesh, P()))
 
 
 def shard_spline(spline, mesh):
