@@ -220,3 +220,141 @@ def test_flipped_interface_parameterization():
                                      rationalize=False))
     # identical up to the conditioning of the penalty-1e8 direct solve
     assert abs(e_ref - e_flip) < 1e-6 * max(e_ref, 1e-16)
+
+
+def test_nitsche_different_degrees_strongly_nonmatching():
+    """Merged-breakpoint interface quadrature (round-3): coupling must
+    converge at the optimal rate of the LOWER degree even with strongly
+    non-matching sides -- different element counts (n vs 2n+1, mutually
+    prime spacings) AND different degrees (p=2 vs p=3).  The A-side-only
+    quadrature of round 2 underintegrates side B's basis here."""
+    from tigar_tpu.coupling import NitscheInterfaceCoupling
+    p_a, p_b = 2, 3
+    errs = []
+    for nel in (4, 8, 16):
+        pa = TensorBSplineBasis(
+            [p_a, p_a], [uniform_knots(p_a, 0.0, 1.0, nel)] * 2)
+        pb = TensorBSplineBasis(
+            [p_b, p_b], [uniform_knots(p_b, 0.0, 1.0, nel),
+                         uniform_knots(p_b, 0.0, 1.0, 2 * nel + 1)])
+        basis = MultiPatchBSplineBasis([pa, pb])
+
+        def bnet(patch, x_off):
+            g = patch.greville_points()
+            B = np.ones((g.shape[0], 3))
+            B[:, 0] = g[:, 0] + x_off
+            B[:, 1] = g[:, 1]
+            return B
+
+        cm = MultiPatchControlMesh(basis, [bnet(basis.patches[0], 0.0),
+                                           bnet(basis.patches[1], 1.0)])
+        gen = EqualOrderSpline(1, cm)
+        gen.add_zero_dofs(0, basis.patch_side_dofs(0, 0, 0))
+        gen.add_zero_dofs(0, basis.patch_side_dofs(1, 0, 1))
+        for patch in (0, 1):
+            for s in (0, 1):
+                gen.add_zero_dofs(0, basis.patch_side_dofs(patch, 1, s))
+        spline = ExtractedSpline(gen, quad_degree=2 * p_b)
+        beta = 20.0 * p_b * p_b * (2 * nel + 1)
+        coupling = NitscheInterfaceCoupling(
+            spline, 0, (0, 1), 1, (0, 0), beta=beta)
+        U = _solve_coupled_form(spline, coupling, _res_flux)
+        errs.append(float(spline.errornorm(
+            U, lambda ctx: _soln_flux(ctx.x), rationalize=False)))
+    rates = [math.log(errs[i - 1] / errs[i]) / math.log(2.0)
+             for i in range(1, len(errs))]
+    assert errs[-1] < 1e-4, errs
+    assert min(rates) > p_a + 0.6, (errs, rates)
+
+
+def _two_patch_shell(p, nel, load):
+    """Two coplanar KL plate patches [0,1]x[0,1] and [1,2]x[0,1] with
+    non-matching interface meshes (nel vs nel+2 along y), clamped at
+    x=0, uniform transverse load."""
+    pa = TensorBSplineBasis([p, p], [uniform_knots(p, 0.0, 1.0, nel)] * 2)
+    pb = TensorBSplineBasis([p, p], [uniform_knots(p, 0.0, 1.0, nel),
+                                     uniform_knots(p, 0.0, 1.0, nel + 2)])
+    basis = MultiPatchBSplineBasis([pa, pb])
+
+    def bnet(patch, x_off):
+        g = patch.greville_points()
+        B = np.zeros((g.shape[0], 4))
+        B[:, 0] = g[:, 0] + x_off
+        B[:, 1] = g[:, 1]
+        B[:, 3] = 1.0
+        return B
+
+    cm = MultiPatchControlMesh(basis, [bnet(basis.patches[0], 0.0),
+                                       bnet(basis.patches[1], 1.0)])
+    gen = EqualOrderSpline(3, cm)
+    clamp = np.concatenate([basis.patch_side_dofs(0, 0, 0, n_layers=2)])
+    for i in range(3):
+        gen.add_zero_dofs(i, clamp)
+    from tigar_tpu.models.shell import precompute_shell_reference
+    return (precompute_shell_reference(
+        ExtractedSpline(gen, quad_degree=2 * p, nders=2)), basis)
+
+
+def test_shell_interface_coupling():
+    """Two-patch cantilever KL plate with a non-matching interface at
+    x=1: displacement+rotation penalty coupling must reproduce the
+    single-patch tip deflection to ~1%, while displacement-only coupling
+    leaves a hinge (visibly larger tip deflection).  Reference has no
+    shell patch coupling at all (BSplines.py:656-659 TODO)."""
+    from tigar_tpu.coupling import ShellInterfaceCoupling
+    from tigar_tpu.models.shell import (precompute_shell_reference,
+                                        svk_shell_residual)
+    from tigar_tpu.models.bspline import ExplicitBSplineControlMesh
+    p, nel = 2, 6
+    E_mod, nu, h_th, q = 1.0e7, 0.3, 0.05, 1.0e-3
+
+    def res(ctx, u, v):
+        return svk_shell_residual(ctx, u, v, E_mod, nu, h_th) - q * v.val[2]
+
+    # single-patch reference on [0,2]x[0,1]
+    cm1 = ExplicitBSplineControlMesh(
+        [p, p], [uniform_knots(p, 0.0, 2.0, 2 * nel),
+                 uniform_knots(p, 0.0, 1.0, nel)], extra_dim=1)
+    gen1 = EqualOrderSpline(3, cm1)
+    b1 = cm1.scalar_basis()
+    for i in range(3):
+        gen1.add_zero_dofs(i, b1.side_dofs(0, 0, n_layers=2))
+    sp1 = precompute_shell_reference(
+        ExtractedSpline(gen1, quad_degree=2 * p, nders=2))
+    U1 = sp1.solve_nonlinear_variational_problem(res)
+    w_ref = float(sp1.evaluate(U1, np.asarray([[2.0, 0.5]]))[0, 2])
+    assert abs(w_ref) > 1e-6  # sanity: load actually bends the plate
+
+    sp2, basis = _two_patch_shell(p, nel, q)
+    h_el = 1.0 / nel
+    pd = 1e2 * E_mod * h_th / h_el
+    pr = 1e2 * E_mod * h_th ** 3 / h_el
+
+    def solve_with(coupling):
+        mask = sp2.mask
+        U = jnp.zeros(sp2.ndof, dtype=sp2.dtype)
+        for _ in range(8):
+            r = sp2.assemble_vector(res, U=U) + mask * coupling.residual(U)
+            if float(jnp.linalg.norm(r)) < 1e-9:
+                break
+            A = sp2.assemble_matrix(res, U=U)
+            Kc = jax.jacfwd(lambda uu: mask * coupling.residual(uu))(U)
+            U = U - jnp.linalg.solve(A + Kc, r)
+        return U
+
+    c_full = ShellInterfaceCoupling(sp2, 0, (0, 1), 1, (0, 0),
+                                    penalty_disp=pd, penalty_rot=pr)
+    U_full = solve_with(c_full)
+    # evaluate on patch 1 at its local (1, 0.5) == physical (2, 0.5)
+    w_full = float(sp2.evaluate(U_full, np.asarray([[1.0, 0.5]]),
+                                patch=1)[0, 2])
+    assert abs(w_full - w_ref) < 0.02 * abs(w_ref), (w_full, w_ref)
+    assert float(c_full.rotation_jump_norm(U_full)) < 1e-5
+
+    # displacement-only coupling: hinge at the interface
+    c_hinge = ShellInterfaceCoupling(sp2, 0, (0, 1), 1, (0, 0),
+                                     penalty_disp=pd, penalty_rot=0.0)
+    U_hinge = solve_with(c_hinge)
+    w_hinge = float(sp2.evaluate(U_hinge, np.asarray([[1.0, 0.5]]),
+                                 patch=1)[0, 2])
+    assert abs(w_hinge) > 1.5 * abs(w_ref), (w_hinge, w_ref)
