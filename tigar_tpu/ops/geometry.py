@@ -114,8 +114,10 @@ def precompute_geometry(ctrl_tab, bnet):
     xi = jnp.asarray(ctrl_tab.qp)
     nref = None
     if ctrl_tab.normal is not None:
-        nref = jnp.broadcast_to(jnp.asarray(ctrl_tab.normal),
-                                (nel, nq) + (xi.shape[-1],))
+        nrm = jnp.asarray(ctrl_tab.normal)
+        if nrm.ndim == 2:   # per-element normals (whole-boundary batches)
+            nrm = nrm[:, None, :]
+        nref = jnp.broadcast_to(nrm, (nel, nq) + (xi.shape[-1],))
 
     fn = _geom_batched(hh is not None, nref is not None)
     return fn(xi, val, gg, hh, nref)

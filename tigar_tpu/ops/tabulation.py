@@ -41,7 +41,9 @@ class Tabulation:
     qw   : [nel, nq]          parametric quadrature weights (incl. element size)
     ncp  : total number of basis functions in the field
     dim  : parametric dimension
-    normal : [d] outward reference normal for boundary tabulations, else None
+    normal : outward reference normal for boundary tabulations: [d] for
+           one side, or [nel, d] per-element (whole-boundary batches);
+           else None
     mask : [nel, nen] float 0/1 padding mask for ragged bases (T-splines,
            multi-patch with mixed degrees); None means all-active.
     """
