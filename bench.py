@@ -127,7 +127,8 @@ def main():
     t0 = time.time()
     ns = StencilNewton(spline, res_adj, mg_splines=mg_splines,
                        cg_iters=cg_iters)
-    log(f"solver setup (coarse stencils on CPU backend): "
+    log(f"solver setup (coarse stencils on "
+        f"{os.environ.get('TIGAR_COARSE_BACKEND', 'device')}): "
         f"{time.time() - t0:.1f}s")
 
     # ---- assembly rates (diagnostic; headline through round 2) --------------
@@ -193,7 +194,8 @@ def main():
 
     # ---- full mixed-precision solve with f64-accuracy check -----------------
     t0 = time.time()
-    Usol, rel64, nsteps = ns.solve(rtol=1e-10, log=log)
+    Usol, rel64, nsteps = ns.solve(rtol=1e-10, log=log,
+                                   log_true_residual=True)
     t_solve = time.time() - t0
     log(f"full solve: {t_solve:.2f}s, {nsteps} steps, "
         f"final f64 rel |r| = {rel64:.3e}")

@@ -481,3 +481,102 @@ def test_multipatch_mg_h_independent():
     it_jac, _ = pcg_iters(splines[4], jacobi_preconditioner(dj),
                           maxiter=120)
     assert it_jac >= 2 * iters[4], (it_jac, iters)
+
+
+def test_periodic_insertion_matrix_exact():
+    """Periodic (circulant) prolongation: fine coefficients P @ c must
+    reproduce the coarse periodic function exactly at arbitrary points."""
+    from tigar_tpu.solvers.multigrid import (insertion_matrix_1d,
+                                             _dense_basis_1d)
+    for p in (2, 3):
+        kc = KnotVector(p, uniform_knots(p, 0.0, 1.0, 6, periodic=True))
+        kf = KnotVector(p, uniform_knots(p, 0.0, 1.0, 12, periodic=True))
+        assert np.allclose(coarsen_knots(kf, p), kc.knots)
+        P = insertion_matrix_1d(kc, kf)
+        assert P.shape == (12, 6)
+        rng = np.random.default_rng(p)
+        c = rng.normal(size=6)
+        pts = rng.uniform(0.02, 0.98, size=40)
+        vc = _dense_basis_1d(kc, pts) @ c
+        vf = _dense_basis_1d(kf, pts) @ (P @ c)
+        np.testing.assert_allclose(vf, vc, atol=1e-12)
+        # uniform dyadic refinement: rows sum to 1 (partition of unity)
+        np.testing.assert_allclose(P.sum(axis=1), 1.0, atol=1e-12)
+
+
+def test_periodic_3d_sumfac_multigrid():
+    """VERDICT round-2 item 7: periodic 3D problem (the TG-3D space
+    family) runs SUM-FACTORIZED with MULTIGRID -- identity-geometry
+    Helmholtz u - lap(u) = f on the 3-torus, h-independent MG-CG
+    iterations and optimal L2 convergence."""
+    from tigar_tpu.ops.sumfac import (make_sumfac_identity_operator,
+                                      sumfac_linear_form, sumfac_l2_error)
+    from tigar_tpu.solvers.multigrid import identity_poisson_multigrid
+    from tigar_tpu.solvers.linear import cg_fixed_iters
+
+    p = 2
+    w = 2.0 * jnp.pi
+
+    def soln(x, y, z):
+        return (jnp.sin(w * x) * jnp.sin(w * y) * jnp.sin(w * z))
+
+    def f_rhs(x, y, z):
+        return (1.0 + 3.0 * w ** 2) * soln(x, y, z)
+
+    errs = {}
+    for nel in (8, 16):
+        sizes = []
+        n = nel
+        while n >= 4:
+            sizes.append(n)
+            n //= 2
+        bases = [TensorBSplineBasis(
+            [p] * 3, [uniform_knots(p, 0.0, 1.0, s, periodic=True)] * 3)
+            for s in sizes]
+        masks = [np.ones(b.ncp) for b in bases]
+        mg = identity_poisson_multigrid(bases, 2 * p, masks, ck=1.0,
+                                        cm=1.0)
+        op = make_sumfac_identity_operator(bases[0], 2 * p, ck=1.0, cm=1.0)
+        b_vec = sumfac_linear_form(bases[0], 2 * p, f_rhs)
+        x, r = cg_fixed_iters(op, b_vec, 14, M=mg)
+        rel = float(jnp.linalg.norm(r)) / float(jnp.linalg.norm(b_vec))
+        assert rel < 1e-10, (nel, rel)  # h-independent: same iters, both h
+        errs[nel] = float(sumfac_l2_error(bases[0], 2 * p, x, soln))
+    rate = math.log(errs[8] / errs[16]) / math.log(2.0)
+    assert rate > p + 0.7, (errs, rate)
+
+
+def test_mg_f32_vcycle_inside_f64_cg():
+    """VERDICT round-2 item 8: float32 V-cycle as the preconditioner of an
+    f64 outer CG (the refinement trick inside the preconditioner).  Same
+    h-independent iteration count (+2 tolerance) as the f64 V-cycle, and
+    the solve still reaches f64 accuracy."""
+    p, nel = 2, 16
+    levels = [_poisson_spline(p, n) for n in (nel, nel // 2, nel // 4)]
+    spline = levels[0]
+    b = spline.assemble_vector(_L)
+    action = spline.matrix_operator(_a)
+
+    mg64 = Multigrid(levels, _a, n_smooth=2, omega=0.7)
+    x64, it64 = _pcg_iters(action, b, mg64)
+
+    mg32 = Multigrid(levels, _a, n_smooth=2, omega=0.7,
+                     dtype=jnp.float32)
+    assert mg32._coarse_inv.dtype == jnp.float32
+    M32 = lambda r: mg32(r.astype(jnp.float32)).astype(r.dtype)
+    x32, it32 = _pcg_iters(action, b, M32)
+    assert it32 <= it64 + 2, (it64, it32)
+
+    A = spline.assemble_matrix(_a)
+    x_direct = jnp.linalg.solve(A, b)
+    err = float(jnp.max(jnp.abs(x32 - x_direct)))
+    assert err < 1e-8 * float(jnp.max(jnp.abs(x_direct)))
+
+    # the wired-up solver option produces the same f64-accurate solution
+    spline.set_solver_options(linear_solver="mg_cg",
+                              mg_levels=levels[1:],
+                              mg_dtype=jnp.float32, linear_tol=1e-12)
+    x_opt = spline._solve_linearized(
+        _a, jnp.zeros(spline.ndof, dtype=spline.dtype), b)
+    err2 = float(jnp.max(jnp.abs(x_opt - x_direct)))
+    assert err2 < 1e-8 * float(jnp.max(jnp.abs(x_direct)))

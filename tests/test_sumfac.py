@@ -164,3 +164,76 @@ def test_sumfac_rhs_and_error_match_generic():
         rationalize=False))
     e = float(sumfac_l2_error(cm_.scalar_basis(), 2 * p, U, f3))
     assert np.isclose(e, e_ref, rtol=1e-12)
+
+
+# -- periodic (wrapped-window) sum factorization ------------------------------
+
+
+def _periodic_space(pdirs, p, nel):
+    """Identity control mesh with a (per-direction) periodic unknown field
+    on the same Bezier grid (the TG-3D space family,
+    compatibleSplines.py:42-64)."""
+    from tigar_tpu.models.bspline import TensorBSplineBasis
+    from tigar_tpu.models.space import FieldListSpline
+    dim = len(pdirs)
+    cm_ = ExplicitBSplineControlMesh(
+        [p] * dim, [uniform_knots(p, 0.0, 1.0, nel)] * dim)
+    field = TensorBSplineBasis(
+        [p] * dim, [uniform_knots(p, 0.0, 1.0, nel, periodic=per)
+                    for per in pdirs])
+    return ExtractedSpline(FieldListSpline(cm_, [field]),
+                           quad_degree=2 * p)
+
+
+def test_sumfac_periodic_sliding():
+    """Fully periodic 2D: sliding path selected (circular pad/fold) and
+    matching the generic AD action on the wrapped space."""
+    from tigar_tpu.ops.sumfac import build_sumfac_data
+    spline = _periodic_space((True, True), 2, 6)
+    data = build_sumfac_data(spline.space.fields[0], spline.geometry,
+                             spline.quad_degree)
+    assert data["sliding"] and all(data["periodic"])
+    _check_operator(spline, 1.0, 0.7)
+
+
+def test_sumfac_periodic_mixed_open():
+    """Periodic x open mixed directions through the sliding chains."""
+    spline = _periodic_space((True, False), 3, 5)
+    _check_operator(spline, 0.6, 1.0)
+
+
+def test_sumfac_periodic_gather():
+    """Periodic with interior multiplicity (continuity drop): stride-1
+    windows break, the gather path must wrap indices mod ncp."""
+    from tigar_tpu.models.bspline import TensorBSplineBasis
+    from tigar_tpu.models.space import FieldListSpline
+    from tigar_tpu.ops.sumfac import build_sumfac_data
+    p, nel = 2, 6
+    cm_ = ExplicitBSplineControlMesh(
+        [p, p], [uniform_knots(p, 0.0, 1.0, nel)] * 2)
+    field = TensorBSplineBasis(
+        [p, p], [uniform_knots(p, 0.0, 1.0, nel, periodic=True,
+                               continuity_drop=1),
+                 uniform_knots(p, 0.0, 1.0, nel, periodic=True)])
+    spline = ExtractedSpline(FieldListSpline(cm_, [field]),
+                             quad_degree=2 * p)
+    data = build_sumfac_data(spline.space.fields[0], spline.geometry,
+                             spline.quad_degree)
+    assert not data["sliding"]
+    _check_operator(spline, 1.0, 0.5)
+
+
+def test_sumfac_periodic_3d_identity():
+    """Fully periodic 3D identity-geometry operator (no ExtractedSpline)
+    against the general path on the wrapped space."""
+    from tigar_tpu.models.bspline import TensorBSplineBasis
+    from tigar_tpu.ops.sumfac import make_sumfac_identity_operator
+    p, nel = 2, 4
+    spline = _periodic_space((True, True, True), p, nel)
+    basis = spline.space.fields[0]
+    rng = np.random.default_rng(5)
+    W = jnp.asarray(rng.normal(size=spline.ndof))
+    ref = make_sumfac_operator(spline, ck=1.0, cm=0.7, apply_bcs=False)(W)
+    got = make_sumfac_identity_operator(basis, 2 * p, ck=1.0, cm=0.7)(W)
+    rel = float(jnp.linalg.norm(got - ref) / jnp.linalg.norm(ref))
+    assert rel < 1e-13, rel

@@ -141,7 +141,9 @@ class ExtractedSpline:
         self.mg_levels = None           # coarser splines for "mg_cg"
         self.mg_smooth = 2
         self.mg_omega = 0.7
+        self.mg_dtype = None            # e.g. float32: V-cycle precision
         self._mg_cache = {}
+        self._asm_cast_cache = {}
 
         # eagerly build the volume assembler
         self._assembler("dx")
@@ -151,7 +153,8 @@ class ExtractedSpline:
     def set_solver_options(self, max_iters=None, relative_tolerance=None,
                            linear_solver=None, linear_tol=None,
                            linear_max_iter=None, dense_threshold=None,
-                           mg_levels=None, mg_smooth=None, mg_omega=None):
+                           mg_levels=None, mg_smooth=None, mg_omega=None,
+                           mg_dtype=None):
         if max_iters is not None:
             self.max_iters = max_iters
         if relative_tolerance is not None:
@@ -173,6 +176,13 @@ class ExtractedSpline:
             self.mg_smooth = int(mg_smooth)
         if mg_omega is not None:
             self.mg_omega = float(mg_omega)
+        if mg_dtype is not None:
+            # V-cycle compute precision (the refinement trick inside the
+            # preconditioner: it need not be exact, only a fixed SPD-ish
+            # operator); float32 halves the V-cycle's bandwidth and FLOP
+            # cost while the outer CG stays f64-accurate
+            self.mg_dtype = jnp.dtype(mg_dtype)
+            self._mg_cache = {}
 
     # -- tabulation / assembler construction ------------------------------------
 
@@ -335,21 +345,36 @@ class ExtractedSpline:
 
         return self._jitted(key, terms, builder)(asms, U, self.mask, params)
 
+    def _cast_assembler(self, asm, dtype):
+        """dtype-cast copy of a cached assembler (cached per (asm, dtype):
+        the arrays are reused across every call of the mixed-precision
+        paths)."""
+        ckey = (id(asm), jnp.dtype(dtype).name)
+        hit = self._asm_cast_cache.get(ckey)
+        if hit is None:
+            hit = (asm.astype(dtype), asm)  # keep source ref (id key)
+            self._asm_cast_cache[ckey] = hit
+        return hit[0]
+
     def tangent_action(self, form, U, W, apply_bcs=True, diag=1.0,
-                       params=None):
+                       params=None, dtype=None):
         """Action of the tangent dR/d(unknown) at U on W -- the matrix-free
-        MᵀAM product."""
+        MᵀAM product.  ``dtype`` overrides the compute precision (e.g.
+        float32 V-cycles inside an f64 outer CG: the mg_dtype solver
+        option); inputs are cast on the way in and the result stays in
+        that dtype."""
         fkey, terms, pairs = self._form_key(form)
         asms = [a for a, _ in pairs]
         densities = [fn for _, fn in pairs]
         ukey = tuple(sorted(U.keys())) if isinstance(U, dict) else None
-        key = ("act", fkey, ukey, bool(apply_bcs), params is None)
+        dt = self.dtype if dtype is None else jnp.dtype(dtype)
+        key = ("act", fkey, ukey, bool(apply_bcs), params is None, dt.name)
 
         def builder():
             def fn(asms_, U_, W_, mask, diag_, params_):
                 Uu = _get_unknown(U_)
                 W_in = mask * W_ if apply_bcs else W_
-                out = jnp.zeros(self.ndof, dtype=self.dtype)
+                out = jnp.zeros(self.ndof, dtype=W_.dtype)
                 for asm, dens in zip(asms_, densities):
                     def r_of(a, asm=asm, dens=dens):
                         return asm.residual_vector(
@@ -360,17 +385,28 @@ class ExtractedSpline:
                 return out
             return fn
 
+        mask = self.mask
+        if dtype is not None and dt != self.dtype:
+            asms = [self._cast_assembler(a, dt) for a in asms]
+            cast = lambda x: (x.astype(dt)
+                              if hasattr(x, "dtype")
+                              and jnp.issubdtype(x.dtype, jnp.floating)
+                              else x)
+            U = jax.tree_util.tree_map(cast, U)
+            W = W.astype(dt)
+            mask = mask.astype(dt)
+            params = jax.tree_util.tree_map(cast, params)
         return self._jitted(key, terms, builder)(
-            asms, U, W, self.mask, jnp.asarray(diag, dtype=self.dtype),
-            params)
+            asms, U, W, mask, jnp.asarray(diag, dtype=dt), params)
 
     def matrix_operator(self, form, U=None, apply_bcs=True, diag=1.0,
-                        params=None):
+                        params=None, dtype=None):
         """Matrix-free operator W -> A @ W (tangent at U)."""
         if U is None:
             U = jnp.zeros(self.ndof, dtype=self.dtype)
         return lambda W: self.tangent_action(form, U, W, apply_bcs=apply_bcs,
-                                             diag=diag, params=params)
+                                             diag=diag, params=params,
+                                             dtype=dtype)
 
     def _element_matrix_sum(self, asms_, densities, U_, params_, scatter):
         out = None
@@ -511,13 +547,20 @@ class ExtractedSpline:
                 mg = cached[1]
             else:
                 mg = Multigrid([self] + self.mg_levels, form, params=params,
-                               n_smooth=self.mg_smooth, omega=self.mg_omega)
+                               n_smooth=self.mg_smooth, omega=self.mg_omega,
+                               dtype=self.mg_dtype)
                 self._mg_cache[fkey] = (pkey, mg)
+            if self.mg_dtype is not None and self.mg_dtype != self.dtype:
+                # reduced-precision V-cycle inside the full-precision CG
+                mg_dt, out_dt = self.mg_dtype, self.dtype
+                M = lambda r: mg(r.astype(mg_dt)).astype(out_dt)
+            else:
+                M = mg
             action = self.matrix_operator(form, U=U, apply_bcs=apply_bcs,
                                           params=params)
             return solve_krylov(action, rhs, method="cg",
                                 tol=self.linear_tol,
-                                maxiter=self.linear_max_iter, M=mg)
+                                maxiter=self.linear_max_iter, M=M)
 
         diag = self.assemble_diagonal(form, U=U, params=params,
                                       apply_bcs=apply_bcs)

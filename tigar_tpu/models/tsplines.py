@@ -405,18 +405,17 @@ def merge_extraction_nodes(nodes_list, ops_list, node_map):
     return new_nodes_list, new_ops_list, len(used), used
 
 
-def bspline_to_rhino_extraction(basis, bnet, fname):
-    """Export a bi-cubic tensor-product B-spline patch as a Rhino-format
-    T-spline extraction file (element-by-element Bezier operators).  Useful
-    for generating verified T-spline inputs and for interoperability tests.
+def bspline_extraction_data(basis):
+    """(nodes_list, ops_list) element-by-element Bezier extraction of a
+    bi-cubic tensor-product B-spline patch -- the building block for
+    fabricated T-spline inputs (multi-patch star points, T-junctions)
+    and the file exporter below.
 
     basis : TensorBSplineBasis with degrees [3, 3]
-    bnet  : [ncp, 4] homogeneous control points (w*x, w)
     """
     from ..ops.basis import bspline_basis_ders
     if basis.degrees != [3, 3]:
         raise ValueError("Rhino format is bi-cubic only")
-    bnet = np.asarray(bnet)
 
     # per-direction extraction: coefficients of each of the 4 supported
     # functions in the element-local cubic Bernstein basis, via collocation
@@ -456,7 +455,84 @@ def bspline_to_rhino_extraction(basis, bnet, fname):
                           ops_v[ev]).reshape(16, 16)
             nodes_list.append(np.asarray(nodes, dtype=np.int64))
             ops_list.append(C)
-    write_rhino_extraction(fname, bnet, nodes_list, ops_list)
+    return nodes_list, ops_list
+
+
+def bspline_to_rhino_extraction(basis, bnet, fname):
+    """Export a bi-cubic tensor-product B-spline patch as a Rhino-format
+    T-spline extraction file (element-by-element Bezier operators).  Useful
+    for generating verified T-spline inputs and for interoperability tests.
+
+    basis : TensorBSplineBasis with degrees [3, 3]
+    bnet  : [ncp, 4] homogeneous control points (w*x, w)
+    """
+    nodes_list, ops_list = bspline_extraction_data(basis)
+    write_rhino_extraction(fname, np.asarray(bnet), nodes_list, ops_list)
+
+
+def make_star_extraction(n_sectors, nel, radius=1.0):
+    """Fabricate a TRUE extraordinary-point T-spline in Bezier-extraction
+    form: ``n_sectors`` bi-cubic patches (nel x nel elements each) meeting
+    at a central star vertex of valence ``n_sectors`` (any value != 4 is a
+    genuine extraordinary point), joined C0 along the spokes -- the
+    extraction-level shape of a Rhino T-spline export around an untreated
+    star point (the dynamic-tspline.py workload class; the reference
+    reader RhinoTSplines.py:78-111 consumes exactly this form).
+
+    Patch k maps the unit square BILINEARLY onto the quad
+    (O, h_{2k}, h_{2k+1}, h_{2k+2}) of a regular 2*n_sectors-gon, so
+    physical-space linear fields stay exactly representable (their
+    coefficients are the field at the control points) -- the hook for
+    energy-consistency tests.  Control points coincide exactly along the
+    spokes; they are merged by coordinate coincidence into one global
+    numbering with the star vertex shared by all sectors.
+
+    Returns (bnet [ncp, 4] homogeneous, nodes_list, ops_list).
+    """
+    from .bspline import TensorBSplineBasis
+    from ..ops.knots import uniform_knots
+
+    m = 2 * n_sectors
+    hexv = np.stack([np.array([np.cos(2 * np.pi * j / m),
+                               np.sin(2 * np.pi * j / m)]) * radius
+                     for j in range(m)])
+    basis = TensorBSplineBasis(
+        [3, 3], [uniform_knots(3, 0.0, 1.0, nel)] * 2)
+    gp = basis.greville_points()                      # [ncp_p, 2]
+    nodes_p, ops_p = bspline_extraction_data(basis)
+    ncp_p = basis.ncp
+
+    pts = []
+    nodes_list, ops_list = [], []
+    for k in range(n_sectors):
+        c00 = np.zeros(2)
+        c10 = hexv[2 * k]
+        c11 = hexv[(2 * k + 1) % m]
+        c01 = hexv[(2 * k + 2) % m]
+        u, v = gp[:, 0], gp[:, 1]
+        xy = (np.outer((1 - u) * (1 - v), c00) + np.outer(u * (1 - v), c10)
+              + np.outer(u * v, c11) + np.outer((1 - u) * v, c01))
+        pts.append(xy)
+        off = k * ncp_p
+        nodes_list += [n + off for n in nodes_p]
+        ops_list += [C.copy() for C in ops_p]
+    pts = np.concatenate(pts)                         # [n_sectors*ncp_p, 2]
+
+    # merge coincident control points (spokes + star vertex)
+    keys = {}
+    node_map = {}
+    for i, (x, y) in enumerate(pts):
+        key = (round(float(x) / 1e-9), round(float(y) / 1e-9))
+        if key in keys:
+            node_map[i] = keys[key]
+        else:
+            keys[key] = i
+    nodes_list, ops_list, ncp, used = merge_extraction_nodes(
+        nodes_list, ops_list, node_map)
+    bnet = np.zeros((ncp, 4))
+    bnet[:, :2] = pts[used]
+    bnet[:, 3] = 1.0
+    return bnet, nodes_list, ops_list
 
 
 def write_rhino_extraction(fname, bnet, nodes_list, ops_list):

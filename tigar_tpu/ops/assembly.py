@@ -113,6 +113,16 @@ class DomainAssembler:
             else x, children)
         return type(self).tree_unflatten(aux, children)
 
+    def with_chunk(self, chunk):
+        """Copy sharing all arrays but with a different ``lax.map`` chunk
+        size (static -- changes trigger a re-trace).  Memory-heavy element
+        kernels (``element_matrices_adjoint``, especially in emulated f64
+        where every intermediate doubles) need a smaller chunk than the
+        residual default to bound HLO temps."""
+        children, aux = self.tree_flatten()
+        aux = aux[:-1] + (None if chunk is None else int(chunk),)
+        return type(self).tree_unflatten(aux, children)
+
     # -- pytree protocol ---------------------------------------------------------
 
     def tree_flatten(self):

@@ -110,6 +110,37 @@ jax.tree_util.register_pytree_node(
     StencilOperator.tree_unflatten)
 
 
+def stencil_to_dense(st):
+    """Densify a StencilOperator on the host (numpy) -- index arithmetic
+    only, no device programs.  Used for coarsest-level multigrid inverses,
+    where building the dense matrix from element matrices would cost one
+    more (expensive, tunnel-compiled) element-kernel program."""
+    S = np.asarray(st.S)
+    dim = len(st.grid_shape)
+    n = int(np.prod(st.grid_shape))
+    A = np.zeros((st.nf * n, st.nf * n), dtype=S.dtype)
+    strides = np.ones(dim, dtype=np.int64)
+    for d in range(dim - 2, -1, -1):
+        strides[d] = strides[d + 1] * st.grid_shape[d + 1]
+    for off in _iproduct(*[range(2 * p + 1) for p in st.degrees]):
+        # output window where input J = I + off - p stays in range
+        out_sl, flat_shift = [], 0
+        for d, (o, p, ng) in enumerate(zip(off, st.degrees,
+                                           st.grid_shape)):
+            s = o - p
+            out_sl.append(slice(max(0, -s), min(ng, ng - s)))
+            flat_shift += s * strides[d]
+        rows_grid = np.arange(n).reshape(st.grid_shape)[tuple(out_sl)]
+        rows = rows_grid.reshape(-1)
+        cols = rows + flat_shift
+        blk = S[(slice(None), slice(None)) + off + tuple(out_sl)]
+        blk = blk.reshape(st.nf, st.nf, -1)
+        for f in range(st.nf):
+            for g in range(st.nf):
+                A[f * n + rows, g * n + cols] = blk[f, g]
+    return A
+
+
 def stencil_from_element_matrices(basis, E, nf):
     """Assemble element matrices E [nel, nloc, nloc] (nloc = nf * nen,
     field-major local ordering, direction 0 fastest everywhere) into a

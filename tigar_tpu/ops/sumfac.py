@@ -43,10 +43,9 @@ from .quadrature import gauss_rule, npoints_for_degree
 
 def _dir_tables(kv, npts):
     """Per-direction 1D tables: values B [nel1, nq1, p+1], derivatives
-    D [nel1, nq1, p+1], window starts s [nel1], weights w1 [nel1, nq1]."""
-    if kv.is_periodic:
-        raise NotImplementedError("sum factorization requires open knots "
-                                  "(contiguous element DoF windows)")
+    D [nel1, nq1, p+1], window starts s [nel1] (may be negative for
+    periodic vectors: element k supports functions (k-p..k) mod ncp),
+    weights w1 [nel1, nq1]."""
     g, w = gauss_rule(npts)
     spans = kv.element_spans()
     lefts = kv.unique_knots[:-1]
@@ -94,11 +93,26 @@ def build_sumfac_data(basis, geom, quad_degree):
     for d in range(dim):
         qw *= np.asarray(tables[d][3])[e_idx[d]][:, q_idx[d]]
 
-    # maximal-continuity open knots have stride-1 element windows, enabling
-    # the gather-free sliding-window apply with interleaved (e_d, q_d) axes
-    sliding = all(
-        np.array_equal(np.asarray(t[2]), np.arange(len(np.asarray(t[2]))))
-        for t in tables)
+    # maximal-continuity knots (open OR periodic, single-multiplicity
+    # interior) have stride-1 element windows, enabling the gather-free
+    # sliding-window apply with interleaved (e_d, q_d) axes.  Periodic
+    # directions (windows (k-p..k) mod ncp) ride the same chains after a
+    # circular front-pad of the coefficient grid (and the transposed fold
+    # on the way back) -- see _pad_periodic/_fold_periodic.
+    periodic = tuple(bool(kv.is_periodic) for kv in basis.kvs)
+    degrees = tuple(kv.p for kv in basis.kvs)
+
+    def _stride1(t, per, kv):
+        s = np.asarray(t[2])
+        if not np.all(np.diff(s) == 1):
+            return False
+        # open: windows live directly in the coefficient axis; periodic:
+        # require the uniform single-multiplicity layout (nel == ncp,
+        # starts == arange - p) matched by the circular front-pad
+        return (s[0] == -kv.p and kv.nel == kv.ncp) if per else s[0] == 0
+
+    sliding = all(_stride1(t, per, kv)
+                  for t, per, kv in zip(tables, periodic, basis.kvs))
     if sliding:
         perm = {2: (0, 2, 1, 3), 3: (0, 3, 1, 4, 2, 5)}[dim]
 
@@ -125,10 +139,42 @@ def build_sumfac_data(basis, geom, quad_degree):
         "nel_d": nel_d,
         "nq_d": nq_d,
         "ncp_d": ncp_d,
+        "periodic": periodic,
+        "degrees": degrees,
         "sliding": sliding,
         "G": G,
         "Gm": layout(Gk.reshape(nel, nq)),
     }
+
+
+def _pad_periodic(Ug, meta):
+    """Circular front-pad of the coefficient grid (axes ordered dim-1..0):
+    periodic direction d gains its last p_d coefficients in front, so the
+    sliding windows (k-p..k) mod n become stride-1 reads k..k+p."""
+    dim, _, periodic, degrees = meta
+    for d in range(dim):
+        if periodic[d]:
+            ax = Ug.ndim - 1 - d
+            xm = jnp.moveaxis(Ug, ax, -1)
+            xm = jnp.concatenate([xm[..., -degrees[d]:], xm], axis=-1)
+            Ug = jnp.moveaxis(xm, -1, ax)
+    return Ug
+
+
+def _fold_periodic(r, meta):
+    """Transpose of _pad_periodic: fold the front-pad contributions back
+    onto the wrapped DoFs (r axes ordered dim-1..0, periodic axes of
+    length n + p)."""
+    dim, ncp_d, periodic, degrees = meta
+    for d in range(dim):
+        if periodic[d]:
+            ax = r.ndim - 1 - d
+            p, n = degrees[d], ncp_d[d]
+            xm = jnp.moveaxis(r, ax, -1)
+            main = xm[..., p:]
+            main = main.at[..., n - p:].add(xm[..., :p])
+            r = jnp.moveaxis(main, -1, ax)
+    return r
 
 
 def _fwd_win(x, T, axis_from_last):
@@ -167,11 +213,11 @@ def _sumfac_apply_sliding(data, W, ck, cm, meta):
     multi-dimensional index vectors are the dominant cost of the generic
     path).  Quadrature-field axis layout: (e_{D-1}, q_{D-1}, ..., e_0, q_0).
     """
-    dim, ncp_d = meta
+    dim, ncp_d, periodic, degrees = meta
     tables = data["tables"]
     G = data["G"]
     Gm = data["Gm"]
-    Ug = W.reshape(tuple(ncp_d[::-1]))
+    Ug = _pad_periodic(W.reshape(tuple(ncp_d[::-1])), meta)
     fwd, bwd = _fwd_win, _bwd_win
 
     # forward: innermost (dir 0) first; axis offsets account for the new
@@ -192,7 +238,7 @@ def _sumfac_apply_sliding(data, W, ck, cm, meta):
         r = (ck * (bwd(bwd(wx, B1, 2), D0, 0)
                    + bwd(bwd(wy, D1, 2), B0, 0))
              + cm * bwd(bwd(mv, B1, 2), B0, 0))
-        return r.reshape(-1)
+        return _fold_periodic(r, meta).reshape(-1)
 
     if dim == 3:
         B0, D0 = tables[0][0], tables[0][1]
@@ -220,14 +266,14 @@ def _sumfac_apply_sliding(data, W, ck, cm, meta):
         r = (ck * (chainT(B2, B1, D0, wx) + chainT(B2, D1, B0, wy)
                    + chainT(D2, B1, B0, wz))
              + cm * chainT(B2, B1, B0, mv))
-        return r.reshape(-1)
+        return _fold_periodic(r, meta).reshape(-1)
 
     raise NotImplementedError("sliding sum factorization supports dim 2 or 3")
 
 
 @functools.partial(jax.jit, static_argnames=("meta",))
 def _sumfac_apply(data, W, ck, cm, meta):
-    dim, ncp_d = meta
+    dim, ncp_d, periodic, degrees = meta
     tables = data["tables"]
     G = data["G"]
     Gm = data["Gm"]
@@ -241,8 +287,9 @@ def _sumfac_apply(data, W, ck, cm, meta):
         B1, D1, s1 = tables[1][0], tables[1][1], tables[1][2]
         p0 = B0.shape[2]
         p1 = B1.shape[2]
-        i0 = s0[:, None] + jnp.arange(p0)[None, :]   # [e0, a0]
-        i1 = s1[:, None] + jnp.arange(p1)[None, :]   # [e1, a1]
+        # mod wraps periodic windows (k-p..k) mod ncp; identity for open
+        i0 = (s0[:, None] + jnp.arange(p0)[None, :]) % ncp_d[0]  # [e0, a0]
+        i1 = (s1[:, None] + jnp.arange(p1)[None, :]) % ncp_d[1]  # [e1, a1]
         # windows [e1, e0, a1, a0]
         Wn = Ug[i1[:, None, :, None], i0[None, :, None, :]]
 
@@ -278,9 +325,9 @@ def _sumfac_apply(data, W, ck, cm, meta):
         B1, D1, s1 = tables[1][0], tables[1][1], tables[1][2]
         B2, D2, s2 = tables[2][0], tables[2][1], tables[2][2]
         p0, p1, p2 = B0.shape[2], B1.shape[2], B2.shape[2]
-        i0 = s0[:, None] + jnp.arange(p0)[None, :]
-        i1 = s1[:, None] + jnp.arange(p1)[None, :]
-        i2 = s2[:, None] + jnp.arange(p2)[None, :]
+        i0 = (s0[:, None] + jnp.arange(p0)[None, :]) % ncp_d[0]
+        i1 = (s1[:, None] + jnp.arange(p1)[None, :]) % ncp_d[1]
+        i2 = (s2[:, None] + jnp.arange(p2)[None, :]) % ncp_d[2]
         # windows [e2, e1, e0, a2, a1, a0]
         Wn = Ug[i2[:, None, None, :, None, None],
                 i1[None, :, None, None, :, None],
@@ -333,7 +380,8 @@ def make_sumfac_operator(spline, ck=1.0, cm=0.0, apply_bcs=True, diag=1.0):
     basis = spline.space.fields[0]
     geom = spline.geometry
     data = build_sumfac_data(basis, geom, spline.quad_degree)
-    meta = (data.pop("dim"), tuple(data.pop("ncp_d")))
+    meta = (data.pop("dim"), tuple(data.pop("ncp_d")),
+            data.pop("periodic"), data.pop("degrees"))
     data.pop("nel_d")
     data.pop("nq_d")
     apply_fn = _sumfac_apply_sliding if data.pop("sliding") \
@@ -362,7 +410,8 @@ def make_sumfac_identity_operator(basis, quad_degree, mask=None, ck=1.0,
     from ..config import real_dtype
     dtype = real_dtype() if dtype is None else dtype
     data = build_sumfac_data(basis, None, quad_degree)
-    meta = (data.pop("dim"), tuple(data.pop("ncp_d")))
+    meta = (data.pop("dim"), tuple(data.pop("ncp_d")),
+            data.pop("periodic"), data.pop("degrees"))
     data.pop("nel_d")
     data.pop("nq_d")
     apply_fn = _sumfac_apply_sliding if data.pop("sliding") \
@@ -425,7 +474,8 @@ def sumfac_linear_form(basis, quad_degree, fn, dtype=None):
                               tables[1][0], 2), tables[0][0], 0)
     else:
         raise NotImplementedError
-    return b.reshape(-1)
+    meta = (dim, tuple(data["ncp_d"]), data["periodic"], data["degrees"])
+    return _fold_periodic(b, meta).reshape(-1)
 
 
 def sumfac_l2_error(basis, quad_degree, U, exact_fn):
@@ -435,7 +485,9 @@ def sumfac_l2_error(basis, quad_degree, U, exact_fn):
         raise NotImplementedError
     dim = data["dim"]
     tables = data["tables"]
-    Ug = jnp.asarray(U).reshape(tuple(kv.ncp for kv in basis.kvs)[::-1])
+    meta = (dim, tuple(data["ncp_d"]), data["periodic"], data["degrees"])
+    Ug = _pad_periodic(jnp.asarray(U).reshape(
+        tuple(kv.ncp for kv in basis.kvs)[::-1]), meta)
     if dim == 2:
         val = _fwd_win(_fwd_win(Ug, tables[0][0], 0), tables[1][0], 2)
     elif dim == 3:

@@ -17,6 +17,15 @@ import jax.scipy.sparse.linalg as jsla
 
 
 def solve_dense(A, b):
+    """Dense direct solve.  Emulated-f64 LU does not lower on TPU ("Only
+    F32 and C64 types are implemented in LuDecomposition"), so f64 systems
+    living on an accelerator are factored on the host -- the dense path is
+    for small systems anyway (ExtractedSpline.dense_threshold)."""
+    if (jnp.issubdtype(jnp.asarray(A).dtype, jnp.float64)
+            and not isinstance(A, jax.core.Tracer)
+            and any(d.platform != "cpu" for d in A.devices())):
+        import numpy as np
+        return jnp.asarray(np.linalg.solve(np.asarray(A), np.asarray(b)))
     return jnp.linalg.solve(A, b)
 
 

@@ -42,8 +42,6 @@ def coarsen_knots(knots, p=None):
         raise ValueError("coarsen_knots needs the degree p for a plain "
                          "knot array")
     kv = knots if isinstance(knots, KnotVector) else KnotVector(p, knots)
-    if kv.is_periodic:
-        raise NotImplementedError("multigrid coarsening requires open knots")
     uniq, mult = kv.unique_knots, kv.multiplicities
     out = [uniq[0]] * int(mult[0])
     for i in range(1, len(uniq) - 1):
@@ -53,15 +51,54 @@ def coarsen_knots(knots, p=None):
     return np.asarray(out, dtype=np.float64)
 
 
+def _dense_basis_1d(kv, pts):
+    """[npts, ncp] dense evaluation of all basis functions of one knot
+    vector at host points (wrapping modulo ncp for periodic vectors)."""
+    from ..ops.basis import bspline_basis_ders
+    pts = np.asarray(pts, dtype=np.float64)
+    spans = kv.knot_span(pts)
+    ders = np.asarray(bspline_basis_ders(kv.ghost_knots, kv.n_ghost, kv.p,
+                                         pts, spans, 0))
+    nodes = np.mod(spans[:, None] - kv.p + np.arange(kv.p + 1)[None, :],
+                   kv.ncp)
+    B = np.zeros((len(pts), kv.ncp))
+    np.add.at(B, (np.arange(len(pts))[:, None], nodes), ders[:, 0, :])
+    return B
+
+
+def _periodic_insertion_matrix(kv_coarse, kv_fine):
+    """[ncp_f, ncp_c] periodic refinement matrix by collocation: sample
+    both bases at the fine Gauss grid and solve B_f P = B_c (exact for
+    nested periodic knots -- for uniform dyadic refinement this reproduces
+    the circulant subdivision mask 2^{-p} C(p+1, k)).  Verified to
+    round-off; raises if the coarse space is not contained in the fine."""
+    from ..ops.quadrature import gauss_rule
+    g, _ = gauss_rule(kv_fine.p + 1)
+    lefts = kv_fine.unique_knots[:-1]
+    h = kv_fine.element_sizes()
+    pts = (lefts[:, None] + (g[None, :] + 1.0) * 0.5 * h[:, None]).ravel()
+    Bf = _dense_basis_1d(kv_fine, pts)
+    Bc = _dense_basis_1d(kv_coarse, pts)
+    P, *_ = np.linalg.lstsq(Bf, Bc, rcond=None)
+    if np.max(np.abs(Bf @ P - Bc)) > 1e-9:
+        raise ValueError("coarse periodic knot vector is not nested in "
+                         "the fine one")
+    P[np.abs(P) < 1e-12] = 0.0
+    return P
+
+
 def insertion_matrix_1d(kv_coarse: KnotVector, kv_fine: KnotVector):
     """[ncp_f, ncp_c] refinement matrix: fine coefficients representing the
     same function as given coarse coefficients (exact for nested knots).
     Built by running Boehm knot insertion (ops/refine.py) on identity
-    coefficient columns."""
+    coefficient columns; periodic pairs go through exact collocation
+    (Boehm insertion needs the open end-clamps)."""
     if kv_coarse.p != kv_fine.p:
         raise ValueError("multigrid levels must share the spline degree")
-    if kv_coarse.is_periodic or kv_fine.is_periodic:
-        raise NotImplementedError("periodic knot vectors are not supported")
+    if kv_coarse.is_periodic != kv_fine.is_periodic:
+        raise ValueError("cannot mix periodic and open multigrid levels")
+    if kv_coarse.is_periodic:
+        return _periodic_insertion_matrix(kv_coarse, kv_fine)
     ck = list(kv_coarse.knots)
     fk = list(kv_fine.knots)
     # multiset difference fine \ coarse (with tolerance)
@@ -201,7 +238,7 @@ class Multigrid:
     """
 
     def __init__(self, splines, form, params=None, n_smooth=2, omega=0.7,
-                 states=None, actions=None, diags=None):
+                 states=None, actions=None, diags=None, dtype=None):
         """``actions``/``diags`` optionally override the operator action
         (W -> A_l W, BC'd with unit diagonal) and Jacobi diagonal of each
         level -- e.g. sum-factorized operators (ops/sumfac.py) at
@@ -209,7 +246,14 @@ class Multigrid:
         path.  Entries may be None to keep the default for that level.
         The coarsest level's dense inverse is always assembled from
         ``form`` here; use ``from_level_data`` when no form-based
-        assembly is possible."""
+        assembly is possible.
+
+        ``dtype`` overrides the V-cycle compute precision (level tangent
+        actions, transfers, coarse inverse): as a CG *preconditioner* the
+        V-cycle need not be exact, so float32 cycles inside an f64 outer
+        Krylov solve cut the preconditioner cost roughly in half (cast the
+        residual in and the correction out -- mg_dtype in
+        ExtractedSpline.set_solver_options does this wiring)."""
         if len(splines) < 2:
             raise ValueError("need at least two levels")
         self.splines = list(splines)
@@ -217,7 +261,9 @@ class Multigrid:
         self.params = params
         self.n_smooth = int(n_smooth)
         self.omega = float(omega)
-        dtype = splines[0].dtype
+        dtype = splines[0].dtype if dtype is None else jnp.dtype(dtype)
+        self._dtype = dtype
+        self._act_dtype = (None if dtype == splines[0].dtype else dtype)
         states = [None] * len(splines) if states is None else list(states)
         actions = [None] * len(splines) if actions is None else list(actions)
         diags = [None] * len(splines) if diags is None else list(diags)
@@ -229,12 +275,13 @@ class Multigrid:
                   if U is None else U)
             diag = (spline.assemble_diagonal(form, U=U_, params=params)
                     if dg is None else jnp.asarray(dg))
+            diag = diag.astype(dtype)
             self.levels.append({
                 "spline": spline,
                 "U": U_,
                 "dinv": jnp.where(diag != 0.0, 1.0 / diag,
                                   jnp.ones_like(diag)),
-                "mask": spline.mask,
+                "mask": spline.mask.astype(dtype),
             })
 
         # per-adjacent-pair field transfers (fine level l -> coarse l+1)
@@ -319,8 +366,9 @@ class Multigrid:
         if self._actions[level] is not None:
             return self._actions[level](W)
         lev = self.levels[level]
-        return lev["spline"].tangent_action(self.form, lev["U"], W,
-                                            params=self.params)
+        return lev["spline"].tangent_action(
+            self.form, lev["U"], W, params=self.params,
+            dtype=getattr(self, "_act_dtype", None))
 
     def _prolong(self, level, xc):
         """Coarse (level+1) -> fine (level)."""

@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from .multigrid import insertion_matrix_1d
-from ..ops.stencil import stencil_from_element_matrices
+from ..ops.stencil import stencil_from_element_matrices, stencil_to_dense
 from ..ops.assembly import apply_bc_matrix
 
 
@@ -163,12 +163,22 @@ class StencilNewton:
     """
 
     def __init__(self, spline, adjoint_res, mg_splines=(), cg_iters=15,
-                 n_smooth=2, omega=0.7):
+                 n_smooth=2, omega=0.7, build_chunk32=None,
+                 build_chunk64=1024):
         self.spline = spline
         self.adjoint = adjoint_res
         self.cg_iters = int(cg_iters)
         self.asm64 = spline._assembler("dx")
         self.asm32 = self.asm64.astype(jnp.float32)
+        # jet-Hessian element-matrix builds carry [chunk, nq, J, nloc]
+        # intermediates that XLA pads heavily (small trailing dims); the
+        # emulated-f64 build at the residual chunk default (8192) exceeds
+        # one v5e's HBM at 128^2 shells (measured: 18.9 G of 15.75 G), so
+        # builds get their own, smaller chunk.
+        self.asm_b32 = (self.asm32 if build_chunk32 is None
+                        else self.asm32.with_chunk(build_chunk32))
+        self.asm_b64 = (self.asm64 if build_chunk64 is None
+                        else self.asm64.with_chunk(build_chunk64))
         self.mask64 = spline.mask
         self.mask32 = spline.mask.astype(jnp.float32)
         self.basis = _equal_order_basis(spline)
@@ -193,7 +203,6 @@ class StencilNewton:
         self._res = res
 
         # -- multigrid ladder ------------------------------------------------
-        cpu = jax.devices("cpu")[0]
         all_bases = [basis] + [_equal_order_basis(s)
                                for s in self.mg_splines]
         grid_shapes = [tuple(kv.ncp for kv in reversed(b.kvs))
@@ -207,30 +216,46 @@ class StencilNewton:
                   for kc, kf in zip(reversed(bc.kvs), reversed(bf.kvs)))
             for bf, bc in zip(all_bases[:-1], all_bases[1:]))
 
+        # Coarse stencils: built once at the zero state.  Default is the
+        # accelerator (execution is milliseconds; compiles are cached in the
+        # persistent cache).  TIGAR_COARSE_BACKEND=cpu forces the local CPU
+        # backend (no tunnel compiles, but ~minutes of single-core execution
+        # for the jet-Hessian kernels at 64^2 -- measured 587 s round 3).
+        import os
+        on_cpu = os.environ.get("TIGAR_COARSE_BACKEND", "device") == "cpu"
+        cpu = jax.devices("cpu")[0]
         coarse_sts, diags, masks = [], [], []
         dense_inv = None
         for i, spl in enumerate(self.mg_splines):
             b_c = _equal_order_basis(spl)
             asm_c = spl._assembler("dx").astype(jnp.float32)
-            asm_c = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, cpu), asm_c)
             m_c = spl.mask.astype(jnp.float32)
-            U0c = jax.device_put(jnp.zeros(spl.ndof, dtype=jnp.float32),
-                                 cpu)
-            Em = asm_c.element_matrices_adjoint(adjoint, U0c)
-            st = stencil_from_element_matrices(b_c, Em, nf=nf)
+            if on_cpu:
+                asm_c = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, cpu), asm_c)
+                U0c = jax.device_put(
+                    jnp.zeros(spl.ndof, dtype=jnp.float32), cpu)
+                Em = asm_c.element_matrices_adjoint(adjoint, U0c)
+                st = stencil_from_element_matrices(b_c, Em, nf=nf)
+                st = st.tree_unflatten(st.tree_flatten()[1],
+                                       (jax.device_put(np.asarray(st.S)),))
+            else:
+                build_c = jax.jit(
+                    lambda a, U, b=b_c: stencil_from_element_matrices(
+                        b, a.element_matrices_adjoint(adjoint, U), nf=nf))
+                st = build_c(asm_c,
+                             jnp.zeros(spl.ndof, dtype=jnp.float32))
             d = np.asarray(st.diagonal())
             m_h = np.asarray(m_c)
             d = m_h * d + (1.0 - m_h)
-            coarse_sts.append(
-                st.tree_unflatten(st.tree_flatten()[1],
-                                  (jax.device_put(np.asarray(st.S)),)))
+            coarse_sts.append(st)
             diags.append(jnp.asarray(1.0 / d, dtype=jnp.float32))
             masks.append(jnp.asarray(m_h, dtype=jnp.float32))
             if i == len(self.mg_splines) - 1:
-                A = np.asarray(asm_c.scatter_dense(Em))
-                A = np.asarray(apply_bc_matrix(jnp.asarray(A),
-                                               jnp.asarray(m_h)))
+                A = stencil_to_dense(st)
+                A = np.asarray(apply_bc_matrix(
+                    jax.device_put(jnp.asarray(A), cpu),
+                    jax.device_put(jnp.asarray(m_h), cpu)))
                 dense_inv = jnp.asarray(np.linalg.inv(A),
                                         dtype=jnp.float32)
         if not self.mg_splines:
@@ -274,7 +299,7 @@ class StencilNewton:
         (U_new, r_norm_device_scalar)."""
         U32 = U.astype(jnp.float32)
         r = self._res(self.asm32, self.mask32, U32)
-        st = self._build(self.asm32, U32)
+        st = self._build(self.asm_b32, U32)
         dU = self._inner_solve(st, r)
         return U - dU.astype(U.dtype), jnp.linalg.norm(r)
 
@@ -284,13 +309,20 @@ class StencilNewton:
         r64 = self._res(self.asm64, self.mask64, U)
         if self._st64 is None or rebuild:
             U32 = U.astype(jnp.float32)
-            self._st32_frozen = self._build(self.asm32, U32)
-            self._st64 = self._build(self.asm64, U)
+            self._st32_frozen = self._build(self.asm_b32, U32)
+            self._st64 = self._build(self.asm_b64, U)
         dU = self._refined_solve(self._st64, self._st32_frozen, r64)
         return U - dU, jnp.linalg.norm(r64)
 
+    def true_rel_residual(self, U, r0=None):
+        """f64 residual norm at U (absolute, or relative to ``r0``) --
+        diagnostic; the f32-phase residual readouts are noise-floored by
+        eps32 amplified through the stiff (bending) density."""
+        rn = float(jnp.linalg.norm(self._res(self.asm64, self.mask64, U)))
+        return rn if r0 is None else rn / r0
+
     def solve(self, U0=None, rtol=1e-10, switch_rel=3e-5, max_iters=40,
-              log=None):
+              log=None, log_true_residual=False):
         """Full mixed-precision Newton solve: f32 production steps until
         the relative residual reaches ``switch_rel`` or stalls, then
         f64-residual polish steps (frozen f64 stencil + refinement) to
@@ -298,6 +330,7 @@ class StencilNewton:
         U = (jnp.zeros(self.spline.ndof, dtype=self.spline.dtype)
              if U0 is None else U0)
         r0 = None
+        r0_64 = None
         prev_rel = np.inf
         phase64 = False
         polish_its = 0
@@ -314,6 +347,13 @@ class StencilNewton:
             if log:
                 log(f"  newton it {it} ({'f64' if phase64 else 'f32'}): "
                     f"rel |r| = {rel:.3e}")
+            if log and log_true_residual and not phase64:
+                if r0_64 is None:
+                    r0_64 = float(jnp.linalg.norm(self._res(
+                        self.asm64, self.mask64,
+                        jnp.zeros_like(U) if U0 is None else U0)))
+                log(f"      true f64 rel |r| = "
+                    f"{self.true_rel_residual(U, r0_64):.3e}")
             if phase64:
                 if rel <= rtol:
                     return U, rel, it + 1
