@@ -53,7 +53,7 @@ def test_stencil_newton_f64_accuracy():
     spline = _build(16)
     ns = StencilNewton(spline, _res_adj, mg_splines=[_build(8), _build(4)],
                        cg_iters=25)
-    U, rel, nit = ns.solve()
+    U, rel, nit, dU_rel = ns.solve()
     assert rel < 1e-10, (rel, nit)
     assert nit <= 12, nit
 
@@ -78,5 +78,5 @@ def test_stencil_newton_two_level():
         StencilNewton(spline, _res_adj)
     ns = StencilNewton(spline, _res_adj, mg_splines=[_build(4)],
                        cg_iters=40)
-    U, rel, nit = ns.solve(rtol=1e-9)
+    U, rel, nit, dU_rel = ns.solve(rtol=1e-9)
     assert rel < 1e-9, (rel, nit)

@@ -76,14 +76,23 @@ class StencilOperator:
         pad = [(0, 0)] + [(p, p) for p in self.degrees]
         Upad = jnp.pad(grid, pad)
         out = jnp.zeros_like(grid)
+        # dtype-dispatched [nf, nf] field-block contraction (measured at 51k
+        # DoFs, round 3): f32 einsum (dot_general -> MXU) 2.5 ms vs 49 ms
+        # elementwise; f64 einsum 1200 ms (the MXU has no emulated-f64
+        # path -- the lowering is catastrophic) vs 61 ms elementwise VPU
+        # multiply-adds (the usual ~2-4x double-double cost).
+        f64 = grid.dtype == jnp.float64
         letters = "zyx"[-dim:]
         spec = f"oi{letters},i{letters}->o{letters}"
         for off in _iproduct(*[range(2 * p + 1) for p in self.degrees]):
             sl = tuple(slice(d, d + n)
                        for d, n in zip(off, self.grid_shape))
             shifted = Upad[(slice(None),) + sl]
-            out = out + jnp.einsum(spec, self.S[(slice(None),) * 2 + off],
-                                   shifted)
+            Soff = self.S[(slice(None), slice(None)) + off]
+            if f64:
+                out = out + jnp.sum(Soff * shifted[None, :], axis=1)
+            else:
+                out = out + jnp.einsum(spec, Soff, shifted)
         return out.reshape(-1)
 
     def diagonal(self):
