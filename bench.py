@@ -16,11 +16,17 @@ solvers/newton_stencil.StencilNewton:
   + update.
 
 F64 ACCURACY: the same driver's polish phase switches the residual to
-emulated f64 and reiterates (quasi-Newton: exact residual + f32 tangent
-still converges to the f64 root -- nonlinear iterative refinement).  The
-bench runs the FULL solve and reports the final f64 relative residual
-(must be <= 1e-10) and the total wall-clock, so the f64 cost appears
-amortized exactly as a production user pays it.
+emulated f64 and reiterates (nonlinear iterative refinement).  The bench
+runs the FULL solve (q=100: deflection ~2.7x thickness, genuinely
+nonlinear) and certifies convergence two ways: rtol=1e-10 on the f64
+relative residual, OR the DOUBLE-PRECISION EVALUATION FLOOR -- the final
+TPU-emulated-f64 residual must match a true-IEEE-f64 CPU evaluation of
+the same state (within 3x) with a collapsed Newton increment
+(|dU|/|U| <= 1e-10, typically ~1e-14).  The floor is intrinsic to ANY
+f64 assembly of this 4th-order operator at this resolution (measured:
+both evaluations give ~5e-10 x |r0|, disagreeing ~30% componentwise --
+pure roundoff); the reference's FEniCS assembly is bound by the same
+floor.
 
 REFERENCE-STEP MODEL (vs_baseline): the reference assembles an f64
 residual AND tangent matrix with FEniCS and LU-factors with PETSc every
@@ -132,11 +138,23 @@ def main():
 
     cg_iters = int(os.environ.get("BENCH_CG_ITERS", "15"))
     t0 = time.time()
+    # coarse stencils are state-independent: cache them on disk keyed by
+    # the full discretization+material tuple (the 64^2-level jet-Hessian
+    # program re-pays a ~300-500 s worker-side compile on first execution
+    # in EVERY fresh process through the remote tunnel; see
+    # StencilNewton.__init__ docstring)
+    ccache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".tigar_cache",
+                          f"bench_coarse_{nel}_p{p}_{E_mod:g}_{nu:g}_"
+                          f"{h_th:g}.npz")
     ns = StencilNewton(spline, res_adj, mg_splines=mg_splines,
-                       cg_iters=cg_iters)
+                       cg_iters=cg_iters, setup_log=log,
+                       coarse_cache=ccache)
     log(f"solver setup (coarse stencils on "
         f"{os.environ.get('TIGAR_COARSE_BACKEND', 'device')}): "
         f"{time.time() - t0:.1f}s")
+    if os.environ.get("BENCH_SETUP_ONLY"):
+        return
 
     # ---- assembly rates (diagnostic; headline through round 2) --------------
     def time_chain(fn, args_maker, rep, label):
@@ -182,14 +200,14 @@ def main():
     # ---- production Newton step (HEADLINE) ----------------------------------
     U = jnp.zeros(spline.ndof, dtype=spline.dtype)
     t0 = time.time()
-    U1, rn = ns.step(U)
+    U1, rn, _dU = ns.step(U)
     _ = (float(rn), float(jnp.vdot(U1, U1)))
     log(f"newton step compile+first: {time.time() - t0:.1f}s")
     best_step = np.inf
     Ui = U1
     for _ in range(3):
         t0 = time.time()
-        Ui, rn = ns.step(Ui)
+        Ui, rn, _dU = ns.step(Ui)
         _ = float(jnp.vdot(Ui, Ui))   # fetch forces the whole chain
         best_step = min(best_step, time.time() - t0)
     step_dof_s = spline.ndof / best_step
@@ -217,7 +235,11 @@ def main():
     log(f"full solve: {t_solve:.2f}s, {nsteps} steps, "
         f"final f64 rel |r| = {rel64:.3e}, |dU|/|U| = {dU_rel:.2e}, "
         f"CPU true-f64 rel = {cpu_rel:.3e}")
-    floor_certified = bool(rel64 <= 3.0 * max(cpu_rel, 1e-16))
+    # the floor certificate needs BOTH signatures: TPU and true-IEEE CPU
+    # evaluations agreeing (at a non-floor state they agree trivially) AND
+    # a collapsed Newton increment (only true at the roundoff floor)
+    floor_certified = bool(rel64 <= 3.0 * max(cpu_rel, 1e-16)
+                           and rel64 <= 1e-8 and dU_rel <= 1e-10)
     f64_ok = bool(rel64 <= 1e-10) or floor_certified
 
     n_cache1 = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0

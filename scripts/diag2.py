@@ -99,7 +99,7 @@ for name, st, mask, W in (("f32", st32, ns.mask32, U32 + 1.0),
     log(f"A: {name} masked apply {(time.time() - t0) / 10 * 1e3:.2f} ms")
 
 # ---- B: to the floor --------------------------------------------------------
-U, _ = ns.step(U)
+U, _, _dU = ns.step(U)
 log(f"B: after f32 step: rel = {ns.true_rel_residual(U, r0):.4e}")
 for it in range(3):
     t0 = time.time()

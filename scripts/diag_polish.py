@@ -71,7 +71,7 @@ r0 = ns.true_rel_residual(U)
 log(f"|r0| = {r0:.4e}")
 
 # one f32 production step
-U, _ = ns.step(U)
+U, _, _dU = ns.step(U)
 log(f"after f32 step: true rel = {ns.true_rel_residual(U, r0):.4e}")
 
 # f64 stencil build timing

@@ -17,23 +17,33 @@ The production nonlinear solve path on TPU, composing round-3 pieces:
     through this machine's remote-compile tunnel (round-2 reef notes),
     and an UN-fused python V-cycle costs ~7 s/step in eager dispatch
     (measured round 3) versus ~0.3 s fused;
-  - coarse-level stencils built once at the zero state ON THE LOCAL CPU
-    BACKEND (their TPU compiles would cost minutes through the tunnel;
-    zero-state coarse operators are state-independent anyway).
+  - coarse-level stencils built once at the zero state on the
+    accelerator (optionally disk-cached across processes: coarse_cache).
 
-PRECISION MODEL.  Newton with an exact residual and an approximate
-Jacobian converges to the root of the residual it is given, so f64
-TANGENT ASSEMBLY is never needed -- but the f32 INNER SOLVE has an
-attainable-accuracy floor: the computed update's relative error is
-~eps32 * kappa(J), which on a 4th-order (bending) operator at fine
-resolution stalls the outer f64 residual around 1e-6 (measured round 3).
-The polish phase therefore freezes ONE f64 stencil (built like the f32
-one, in emulated f64) and solves each polish step's linear system by
-LINEAR iterative refinement: f64 stencil residuals around the same f32
-MG-CG inner solve (solvers/refinement.py logic inlined here).  That
-restores f64-accurate updates at the cost of one f64 stencil build per
-solve plus cheap f64 stencil applies, and the outer Newton then reaches
-1e-10 relative f64 residuals.
+PRECISION MODEL (all floors MEASURED at 128^2 shells, round 3).
+Newton with an exact residual and an approximate Jacobian converges to
+the root of the residual it is given, so f64 TANGENT ASSEMBLY is never
+needed for correctness; precision enters in three distinct floors:
+  1. the f32 inner MG-CG solves its linear system to ~8e-4 relative
+     (its eps32 floor; 15 iterations reach it -- more iterations or
+     stronger smoothing change nothing);
+  2. the f32 ASSEMBLED RESIDUAL carries an absolute noise floor of
+     eps32 * |d2N| * (energy scale) -- f32 production steps are
+     productive only while |r| is far above it;
+  3. the f64 residual evaluation has its own roundoff floor ~1e-9
+     absolute here -- CONFIRMED INTRINSIC by cross-checking against a
+     true-IEEE-f64 CPU evaluation of the same state (both measure the
+     same norm, disagreeing ~30% componentwise: pure roundoff).  No
+     double-precision assembly, the reference's FEniCS included, can
+     certify a smaller residual; cpu_true_residual() provides the
+     certificate.
+The polish phase therefore: switches to f64 residuals once f32 stops
+halving; solves each step with an f64 stencil (rebuilt while far from
+the root, frozen within 1e-5) via LINEAR iterative refinement -- f64
+stencil residuals around the f32 MG-CG (floor 1 is lifted by floor-3
+-accurate outer residuals); and terminates at rtol or at the
+evaluation floor (residual stagnation with a collapsed increment,
+|dU|/|U| reaching ~1e-14).
 
 Reference analog: solveNonlinearVariationalProblem + PETSc LU
 (tIGAr/common.py:1304-1348), which assembles an f64 tangent matrix and
@@ -164,7 +174,18 @@ class StencilNewton:
 
     def __init__(self, spline, adjoint_res, mg_splines=(), cg_iters=15,
                  n_smooth=2, omega=0.7, build_chunk32=None,
-                 build_chunk64=1024):
+                 build_chunk64=1024, setup_log=None, coarse_cache=None):
+        """``coarse_cache``: optional .npz path caching the (zero-state,
+        state-independent) coarse stencils + dense inverse across
+        processes.  The caller owns the key (include discretization and
+        material parameters in the filename!).  Rationale (measured,
+        round 3): the 64^2-level jet-Hessian program re-pays a ~300-500 s
+        hidden worker-side compile on its FIRST EXECUTION in every fresh
+        process through this machine's remote-compile tunnel, even with a
+        warm persistent cache -- smaller levels and the (fused, chunked)
+        fine-level programs warm across processes normally."""
+        import os as _os
+        import time as _time
         self.spline = spline
         self.adjoint = adjoint_res
         self.cg_iters = int(cg_iters)
@@ -226,10 +247,56 @@ class StencilNewton:
         cpu = jax.devices("cpu")[0]
         coarse_sts, diags, masks = [], [], []
         dense_inv = None
-        for i, spl in enumerate(self.mg_splines):
+        cached = None
+        if coarse_cache and _os.path.exists(coarse_cache):
+            try:
+                with np.load(coarse_cache) as z:
+                    cached = {k: z[k] for k in z.files}
+            except Exception:
+                cached = None
+        def _level_layout(spl):
             b_c = _equal_order_basis(spl)
+            gs = tuple(kv.ncp for kv in reversed(b_c.kvs))
+            degs = tuple(kv.p for kv in reversed(b_c.kvs))
+            return (nf, nf) + tuple(2 * p + 1 for p in degs) + gs, gs, degs
+
+        loaded = (cached is not None
+                  and int(cached.get("n", -1)) == len(self.mg_splines)
+                  and all(f"S{i}" in cached
+                          and cached[f"S{i}"].shape
+                          == _level_layout(spl)[0]
+                          for i, spl in enumerate(self.mg_splines)))
+        for i, spl in enumerate(self.mg_splines):
+            _t0 = _time.time()
+            if loaded:
+                from ..ops.stencil import StencilOperator
+                _, gs, degs = _level_layout(spl)
+                st = StencilOperator(jnp.asarray(cached[f"S{i}"]), gs,
+                                     degs, nf)
+                m_h = np.asarray(spl.mask, dtype=np.float64)
+                d = np.asarray(st.diagonal())
+                d = m_h * d + (1.0 - m_h)
+                coarse_sts.append(st)
+                diags.append(jnp.asarray(1.0 / d, dtype=jnp.float32))
+                masks.append(jnp.asarray(m_h, dtype=jnp.float32))
+                if i == len(self.mg_splines) - 1:
+                    dense_inv = jnp.asarray(cached["inv"],
+                                            dtype=jnp.float32)
+                if setup_log:
+                    setup_log(f"    coarse level {i} (cache "
+                              f"{coarse_cache}): {_time.time() - _t0:.1f}s")
+                continue
+            b_c = _equal_order_basis(spl)
+            # chunk the coarse jet-Hessian builds like the fine one: the
+            # unchunked single-vmap program at 64^2 repeatedly cost
+            # ~100-550 s/run through the remote-compile tunnel (round 3)
+            # where the chunked (lax.map) form is seconds warm
             asm_c = spl._assembler("dx").astype(jnp.float32)
+            asm_c = asm_c.with_chunk(1024)
             m_c = spl.mask.astype(jnp.float32)
+            if setup_log:
+                setup_log(f"      astype/prep: {_time.time() - _t0:.1f}s")
+            _t1 = _time.time()
             if on_cpu:
                 asm_c = jax.tree_util.tree_map(
                     lambda x: jax.device_put(x, cpu), asm_c)
@@ -245,7 +312,12 @@ class StencilNewton:
                         b, a.element_matrices_adjoint(adjoint, U), nf=nf))
                 st = build_c(asm_c,
                              jnp.zeros(spl.ndof, dtype=jnp.float32))
+            if setup_log:
+                setup_log(f"      build: {_time.time() - _t1:.1f}s")
+                _t1 = _time.time()
             d = np.asarray(st.diagonal())
+            if setup_log:
+                setup_log(f"      diagonal fetch: {_time.time() - _t1:.1f}s")
             m_h = np.asarray(m_c)
             d = m_h * d + (1.0 - m_h)
             coarse_sts.append(st)
@@ -258,6 +330,19 @@ class StencilNewton:
                     jax.device_put(jnp.asarray(m_h), cpu)))
                 dense_inv = jnp.asarray(np.linalg.inv(A),
                                         dtype=jnp.float32)
+            if setup_log:
+                setup_log(f"    coarse level {i} ({spl.ndof} dofs): "
+                          f"{_time.time() - _t0:.1f}s")
+        if coarse_cache and not loaded and self.mg_splines:
+            payload = {"n": np.asarray(len(self.mg_splines)),
+                       "inv": np.asarray(dense_inv)}
+            for i, st in enumerate(coarse_sts):
+                payload[f"S{i}"] = np.asarray(st.S)
+            _os.makedirs(_os.path.dirname(coarse_cache) or ".",
+                         exist_ok=True)
+            np.savez(coarse_cache, **payload)
+            if setup_log:
+                setup_log(f"    coarse stencils saved to {coarse_cache}")
         if not self.mg_splines:
             # single-level: "coarse" inverse is the Jacobi diagonal only;
             # emulate with an identity-free fallback (pure CG + Jacobi)
@@ -297,12 +382,20 @@ class StencilNewton:
 
     def step(self, U):
         """One PRODUCTION Newton step (all-f32 linear algebra): returns
-        (U_new, r_norm_device_scalar)."""
+        (U_new, r_norm_device_scalar, dU)."""
         U32 = U.astype(jnp.float32)
         r = self._res(self.asm32, self.mask32, U32)
         st = self._build(self.asm_b32, U32)
-        dU = self._inner_solve(st, r)
-        return U - dU.astype(U.dtype), jnp.linalg.norm(r)
+        dU = self._inner_solve(st, r).astype(U.dtype)
+        return U - dU, jnp.linalg.norm(r), dU
+
+    def res_norm(self, U, f64=False):
+        """|r(U)| in the requested working precision."""
+        if f64:
+            return float(jnp.linalg.norm(
+                self._res(self.asm64, self.mask64, U)))
+        return float(jnp.linalg.norm(self._res(
+            self.asm32, self.mask32, U.astype(jnp.float32))))
 
     def polish_step(self, U, rebuild=False, sweeps=3):
         """One POLISH step: f64 residual, f64 stencil + refinement solve.
@@ -315,7 +408,7 @@ class StencilNewton:
             self._st64 = self._build(self.asm_b64, U)
         dU = self._refined_solve(self._st64, self._st32_frozen, r64,
                                  sweeps=sweeps)
-        return U - dU, jnp.linalg.norm(r64), jnp.linalg.norm(dU)
+        return U - dU, jnp.linalg.norm(r64), dU
 
     def cpu_true_residual(self, U):
         """|r(U)| evaluated in TRUE IEEE f64 on the host CPU backend -- the
@@ -368,16 +461,29 @@ class StencilNewton:
         prev_rel = np.inf
         phase64 = False
         polish_its = 0
+        stalls = 0
         dU_rel = np.inf
         for it in range(max_iters):
             if phase64:
-                U, rn, dUn = self.polish_step(U, rebuild=True,
-                                              sweeps=polish_sweeps)
+                # Rebuild the f64 stencil while far from the root; once
+                # within ~1e-5 the frozen tangent's linear contraction is
+                # far below the per-step target and each rebuild (~7 s at
+                # 128^2) buys nothing.
+                # NOTE (round 3, measured): residual-monotone line search
+                # was tried here and REMOVED -- on membrane-stiffening
+                # loads the first step's transient overshoot (|r| up 29x
+                # at q=100, 128^2) is a GOOD state (polish converges from
+                # it in ~4 steps) while damping to enforce monotonicity
+                # creeps at ~0.95/step and never recovers.
+                rebuild = polish_its == 0 or prev_rel > 1e-5
+                U, rn, dU = self.polish_step(U, rebuild=rebuild,
+                                             sweeps=polish_sweeps)
                 polish_its += 1
                 un = float(jnp.linalg.norm(U))
-                dU_rel = float(dUn) / un if un > 0 else float(dUn)
+                dUn = float(jnp.linalg.norm(dU))
+                dU_rel = dUn / un if un > 0 else dUn
             else:
-                U, rn = self.step(U)
+                U, rn, _dU = self.step(U)
             rn = float(rn)
             if r0 is None:
                 r0 = rn
@@ -396,9 +502,15 @@ class StencilNewton:
             if phase64:
                 if rel <= rtol:
                     return U, rel, it + 1, dU_rel
-                if polish_its > 1 and rel > 0.5 * prev_rel:
-                    return U, rel, it + 1, dU_rel   # evaluation floor
-            elif rel <= switch_rel or rel > 0.5 * prev_rel:
+                # the f64 EVALUATION floor: residual stops contracting
+                # AND the Newton increment has collapsed (near the floor
+                # dU is roundoff-driven, |dU|/|U| ~ 1e-11 and below;
+                # during slow transients it stays large)
+                stalls = stalls + 1 if rel > 0.9 * prev_rel else 0
+                if polish_its > 1 and (stalls >= 3 or (
+                        rel > 0.5 * prev_rel and dU_rel < 1e-9)):
+                    return U, rel, it + 1, dU_rel
+            elif rel <= switch_rel or (it > 0 and rel > 0.7 * prev_rel):
                 phase64 = True
             prev_rel = rel
         return U, prev_rel, max_iters, dU_rel
