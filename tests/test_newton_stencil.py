@@ -80,3 +80,19 @@ def test_stencil_newton_two_level():
                        cg_iters=40)
     U, rel, nit, dU_rel = ns.solve(rtol=1e-9)
     assert rel < 1e-9, (rel, nit)
+
+
+def test_from_form_matches_hand_adjoint():
+    """StencilNewton.from_form (generic pointwise adjoint via
+    forms.adjoint_of) converges to the same solution as the hand-derived
+    adjoint route."""
+    spline = _build(8)
+    ns = StencilNewton.from_form(spline, _res, mg_splines=[_build(4)],
+                                 cg_iters=40)
+    U, rel, nit, dU_rel = ns.solve(rtol=1e-9)
+    assert rel < 1e-9, (rel, nit)
+    ns2 = StencilNewton(_build(8), _res_adj, mg_splines=[_build(4)],
+                        cg_iters=40)
+    U2, _, _, _ = ns2.solve(rtol=1e-9)
+    err = float(jnp.max(jnp.abs(U - U2)) / jnp.max(jnp.abs(U2)))
+    assert err < 1e-8, err

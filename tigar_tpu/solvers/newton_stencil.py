@@ -38,12 +38,13 @@ needed for correctness; precision enters in three distinct floors:
      certify a smaller residual; cpu_true_residual() provides the
      certificate.
 The polish phase therefore: switches to f64 residuals once f32 stops
-halving; solves each step with an f64 stencil (rebuilt while far from
-the root, frozen within 1e-5) via LINEAR iterative refinement -- f64
-stencil residuals around the f32 MG-CG (floor 1 is lifted by floor-3
--accurate outer residuals); and terminates at rtol or at the
-evaluation floor (residual stagnation with a collapsed increment,
-|dU|/|U| reaching ~1e-14).
+halving; solves each step's linear system with f64 CG PRECONDITIONED BY
+THE f32 V-CYCLE (make_stencil_mgcg_mixed -- floor 1 disappears because
+the Krylov recurrences and the stencil operator stay f64, while the
+preconditioner only needs to be a fixed SPD-ish approximation), over an
+f64 stencil rebuilt while far from the root and frozen within 1e-5; and
+terminates at rtol or at the evaluation floor (residual stagnation with
+a collapsed increment, |dU|/|U| reaching ~1e-14).
 
 Reference analog: solveNonlinearVariationalProblem + PETSc LU
 (tIGAr/common.py:1304-1348), which assembles an f64 tangent matrix and
@@ -158,6 +159,83 @@ def make_stencil_mgcg(nf, grid_shapes, n_smooth=2, omega=0.7, n_iters=15):
     return jax.jit(solve)
 
 
+def make_stencil_mgcg_mixed(nf, grid_shapes, n_smooth=2, omega=0.7,
+                            n_iters=30):
+    """Fused MIXED-PRECISION MG-CG: the outer CG runs in f64 (f64 stencil
+    applies, f64 vectors) with the f32 V-cycle as preconditioner.
+
+    Pure-f32 MG-CG has an eps32 * kappa attainable-accuracy floor that
+    GROWS like n^4 on bending operators: at 256^2 shells a refined f32
+    inner solve only contracts ~0.3 per call (measured round 3), stalling
+    the polish Newton at ~0.3/step.  Keeping the Krylov recurrences and
+    operator in f64 removes the floor entirely (linear residuals reach
+    ~1e-12) while the V-cycle -- which only needs to be a fixed SPD-ish
+    approximation -- stays in cheap f32.
+
+    Signature: solve(st64, mask64, sts32, masks, dinvs, Ps, coarse_inv,
+    b64); level structure static, arrays runtime."""
+    nlev = len(grid_shapes)
+
+    def action32(sts, masks, l, W):
+        m = masks[l]
+        return m * sts[l](m * W) + (1.0 - m) * W
+
+    def smooth(sts, masks, dinvs, l, b, x=None):
+        om_dinv = omega * dinvs[l]
+        if x is None:
+            x = om_dinv * b
+            sweeps = n_smooth - 1
+        else:
+            sweeps = n_smooth
+        for _ in range(sweeps):
+            x = x + om_dinv * (b - action32(sts, masks, l, x))
+        return x
+
+    def vcycle(sts, masks, dinvs, Ps, coarse_inv, l, b):
+        if l == nlev - 1:
+            return coarse_inv @ b
+        x = smooth(sts, masks, dinvs, l, b)
+        r = b - action32(sts, masks, l, x)
+        PsT = tuple(P.T for P in Ps[l])
+        rc = masks[l + 1] * _grid_prolong(PsT, r, nf, grid_shapes[l])
+        ec = vcycle(sts, masks, dinvs, Ps, coarse_inv, l + 1, rc)
+        x = x + masks[l] * _grid_prolong(Ps[l], ec, nf, grid_shapes[l + 1])
+        return smooth(sts, masks, dinvs, l, b, x)
+
+    def solve(st64, mask64, sts32, masks, dinvs, Ps, coarse_inv, b64):
+        def M(r):
+            z32 = vcycle(sts32, masks, dinvs, Ps, coarse_inv, 0,
+                         r.astype(jnp.float32))
+            return z32.astype(b64.dtype)
+
+        def A(W):
+            return (mask64 * st64(mask64 * W)
+                    + (1.0 - mask64) * W)
+
+        x0 = jnp.zeros_like(b64)
+        r0 = b64
+        z0 = M(r0)
+        rz0 = jnp.vdot(r0, z0)
+
+        def body(_, state):
+            x, r, p, rz = state
+            Ap = A(p)
+            pAp = jnp.vdot(p, Ap)
+            alpha = jnp.where(pAp != 0.0, rz / pAp, 0.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            z = M(r)
+            rz_new = jnp.vdot(r, z)
+            beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
+            p = z + beta * p
+            return x, r, p, rz_new
+
+        x, r, _, _ = jax.lax.fori_loop(0, n_iters, body, (x0, r0, z0, rz0))
+        return x
+
+    return jax.jit(solve)
+
+
 class StencilNewton:
     """Newton driver over one ExtractedSpline (see module docstring).
 
@@ -174,7 +252,8 @@ class StencilNewton:
 
     def __init__(self, spline, adjoint_res, mg_splines=(), cg_iters=15,
                  n_smooth=2, omega=0.7, build_chunk32=None,
-                 build_chunk64=1024, setup_log=None, coarse_cache=None):
+                 build_chunk64=1024, setup_log=None, coarse_cache=None,
+                 polish_cg_iters=30):
         """``coarse_cache``: optional .npz path caching the (zero-state,
         state-independent) coarse stencils + dense inverse across
         processes.  The caller owns the key (include discretization and
@@ -230,6 +309,9 @@ class StencilNewton:
                        for b in all_bases]
         self._mgcg = make_stencil_mgcg(nf, grid_shapes, n_smooth=n_smooth,
                                        omega=omega, n_iters=self.cg_iters)
+        self._mgcg_mixed = make_stencil_mgcg_mixed(
+            nf, grid_shapes, n_smooth=n_smooth, omega=omega,
+            n_iters=int(polish_cg_iters))
         # per-transition per-direction prolongation matrices (slowest 1st)
         self._Ps = tuple(
             tuple(jnp.asarray(insertion_matrix_1d(kc, kf),
@@ -397,17 +479,42 @@ class StencilNewton:
         return float(jnp.linalg.norm(self._res(
             self.asm32, self.mask32, U.astype(jnp.float32))))
 
-    def polish_step(self, U, rebuild=False, sweeps=3):
-        """One POLISH step: f64 residual, f64 stencil + refinement solve.
-        ``rebuild`` refreshes both stencils at the current U.  Returns
-        (U_new, |r64| before the step, |dU|)."""
+    @classmethod
+    def from_form(cls, spline, residual_density, mg_splines=(), **kwargs):
+        """Build the production solver straight from a RESIDUAL FORM
+        density ``res(ctx, u, v)`` (the object users hand to
+        ExtractedSpline.solve_nonlinear_variational_problem, reference
+        common.py:1304-1348): the adjoint jet is derived pointwise with
+        forms.adjoint_of.  For hot densities a hand-derived adjoint
+        (models/shell.svk_shell_adjoint) is ~13% faster to assemble; the
+        solver structure is identical."""
+        from ..forms import adjoint_of
+        return cls(spline, adjoint_of(residual_density),
+                   mg_splines=mg_splines, **kwargs)
+
+    def _mixed_solve(self, st64, st32, b64):
+        """f64 CG preconditioned by the f32 V-cycle (one fused program):
+        no eps32*kappa accuracy floor -- see make_stencil_mgcg_mixed."""
+        d = st32.diagonal()
+        d = self.mask32 * d + (1.0 - self.mask32)
+        dinv = jnp.where(d != 0.0, 1.0 / d, jnp.ones_like(d))
+        sts = (st32,) + self._coarse_sts
+        masks = (self.mask32,) + self._coarse_masks
+        dinvs = (dinv,) + self._coarse_dinvs
+        return self._mgcg_mixed(st64, self.mask64, sts, masks, dinvs,
+                                self._Ps, self._coarse_inv, b64)
+
+    def polish_step(self, U, rebuild=False, sweeps=None):
+        """One POLISH step: f64 residual, f64-CG solve with the f32
+        V-cycle preconditioner (``sweeps`` kept for API compatibility,
+        unused).  ``rebuild`` refreshes both stencils at the current U.
+        Returns (U_new, |r64| before the step, dU)."""
         r64 = self._res(self.asm64, self.mask64, U)
         if self._st64 is None or rebuild:
             U32 = U.astype(jnp.float32)
             self._st32_frozen = self._build(self.asm_b32, U32)
             self._st64 = self._build(self.asm_b64, U)
-        dU = self._refined_solve(self._st64, self._st32_frozen, r64,
-                                 sweeps=sweeps)
+        dU = self._mixed_solve(self._st64, self._st32_frozen, r64)
         return U - dU, jnp.linalg.norm(r64), dU
 
     def cpu_true_residual(self, U):
