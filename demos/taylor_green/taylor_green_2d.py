@@ -67,13 +67,17 @@ def res(ctx, s, v_hat):
     return DENS * jnp.sum(Du_Dt * v.val) + 2.0 * VISC * jnp.sum(eps_u * eps_v)
 
 
+# TIGAR_PIPELINE=1 lags the convergence-norm fetch one iteration so
+# the ~30 ms host-blocked tunnel round trip overlaps device work
+# (tens of penalty iterations per step make it measurable here)
+PIPELINE = bool(int(os.environ.get("TIGAR_PIPELINE", "0")))
 solver = IteratedPenaltySolver(spline, res)
 w = jnp.zeros_like(U)
 for step in range(N_STEPS):
     print(f"------- Time step {step + 1} , t = {timeInt.t} -------")
     aux = {"x_old": timeInt.x_old, "xdot_old": timeInt.xdot_old}
     timeInt.x, w = solver.solve(timeInt.x, w=w, penalty=1e6, aux=aux,
-                                log=True)
+                                log=not PIPELINE, pipeline=PIPELINE)
     timeInt.advance()
 
 t_final = N_STEPS * DELTA_T

@@ -69,6 +69,10 @@ def dissipation(U_arr):
     return float(spline.assemble_functional(density, U=U_arr))
 
 
+# TIGAR_PIPELINE=1 lags the convergence-norm fetch one iteration so
+# the ~30 ms host-blocked tunnel round trip overlaps device work
+# (tens of penalty iterations per step make it measurable here)
+PIPELINE = bool(int(os.environ.get("TIGAR_PIPELINE", "0")))
 solver = IteratedPenaltySolver(spline, res)
 w = jnp.zeros_like(U)
 with open("dissipationRate.dat", "w") as f:
@@ -77,7 +81,7 @@ for step in range(N_STEPS):
     print(f"------- Time step {step + 1} , t = {timeInt.t} -------")
     aux = {"x_old": timeInt.x_old, "xdot_old": timeInt.xdot_old}
     timeInt.x, w = solver.solve(timeInt.x, w=w, penalty=1e4, aux=aux,
-                                log=True)
+                                log=not PIPELINE, pipeline=PIPELINE)
     div_err = float(spline.assemble_functional(
         lambda ctx, u: piola_div(ctx, u) ** 2, U=timeInt.x))
     print("Divergence error:", div_err)

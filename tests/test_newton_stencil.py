@@ -96,3 +96,50 @@ def test_from_form_matches_hand_adjoint():
     U2, _, _, _ = ns2.solve(rtol=1e-9)
     err = float(jnp.max(jnp.abs(U - U2)) / jnp.max(jnp.abs(U2)))
     assert err < 1e-8, err
+
+
+def test_prolong_solution_exact():
+    """Nested spaces represent a coarse function exactly: prolonging a
+    (BC-masked) coarse coefficient vector must reproduce the same field
+    values at arbitrary parametric points to roundoff."""
+    fine, coarse, coarsest = _build(16), _build(8), _build(4)
+    ns = StencilNewton(fine, _res_adj, mg_splines=[coarse, coarsest],
+                       cg_iters=5)
+    rng = np.random.default_rng(3)
+    Uc = jnp.asarray(coarse.mask * rng.normal(size=coarse.ndof))
+    Uf = ns.prolong_solution(Uc)
+    xi = rng.uniform(0.05, 0.95, size=(40, 2))
+    vc = coarse.evaluate(np.asarray(Uc), xi)
+    vf = fine.evaluate(np.asarray(Uf), xi)
+    assert np.max(np.abs(vc - vf)) < 1e-12 * max(1.0, np.max(np.abs(vc)))
+
+
+def test_solve_nested_matches_flat_solve():
+    """Nested iteration (coarse stage -> exact prolongation -> fine
+    mixed-precision solve) must reach the same f64 convergence level and
+    the same solution as the flat from-zero solve, in both rebuild and
+    chord coarse modes."""
+    spline = _build(16)
+    ns = StencilNewton(spline, _res_adj, mg_splines=[_build(8), _build(4)],
+                       cg_iters=25)
+    U_flat, rel_flat, _, _ = ns.solve(rtol=1e-10)
+    for chord in (False, True):
+        U, rel, nit, dU_rel = ns.solve_nested(rtol=1e-10,
+                                              coarse_chord=chord)
+        assert rel < 1e-10, (chord, rel, nit)
+        err = float(jnp.max(jnp.abs(U - U_flat))
+                    / jnp.max(jnp.abs(U_flat)))
+        assert err < 1e-8, (chord, err)
+
+
+def test_coarse_solver_reuses_ladder():
+    """coarse_solver shares the parent's zero-state stencils (no
+    rebuild) and refuses to run without a ladder of its own."""
+    import pytest
+    ns = StencilNewton(_build(16), _res_adj,
+                       mg_splines=[_build(8), _build(4)], cg_iters=25)
+    cs = ns.coarse_solver()
+    assert cs._coarse_sts[0] is ns._coarse_sts[1]
+    assert cs._coarse_inv is ns._coarse_inv
+    with pytest.raises(ValueError, match="two mg_splines"):
+        cs.coarse_solver()

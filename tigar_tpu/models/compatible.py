@@ -105,9 +105,17 @@ class IteratedPenaltySolver:
         self.aug_density = aug_density
 
     def solve(self, U, w=None, penalty=DEFAULT_RT_PENALTY, aux=None,
-              params=None, log=False):
+              params=None, log=False, pipeline=False):
         """Returns (U, w).  Pass the previous step's ``w`` when time stepping
-        (taylor-green-3d.py:135-146)."""
+        (taylor-green-3d.py:135-146).
+
+        ``pipeline`` lags the convergence check one iteration so the
+        residual-norm fetch (~30 ms of host-blocked tunnel round trip per
+        iteration on this machine) overlaps device work -- worthwhile for
+        the long penalty loops of the TG workloads (tens of iterations per
+        time step), at the price of one speculative linear solve past
+        convergence.  Results are identical (solvers/newton.py has the
+        same option and rationale)."""
         spline = self.spline
         if w is None:
             w = jnp.zeros_like(U)
@@ -121,26 +129,45 @@ class IteratedPenaltySolver:
             return base
 
         initial_norm = None
-        lhs_state = None
-        for it in range(spline.max_iters):
-            s = state(U, w)
-            b = spline.assemble_vector(self.aug_density, U=s,
-                                       apply_bcs=self.apply_bcs, params=p)
-            current = float(jnp.linalg.norm(b))
+
+        def check(it, norm_dev, U_at, w_at):
+            nonlocal initial_norm
+            current = float(norm_dev)
             if it == 0:
                 initial_norm = current
             rel = current / initial_norm if initial_norm > 0 else 0.0
             if log:
                 print(f"Solver iteration: {it} , Relative norm: {rel}",
                       flush=True)
-            if rel < spline.relative_tolerance:
-                return U, w
+            return (U_at, w_at) if rel < spline.relative_tolerance else None
+
+        lhs_state = None
+        pending = None
+        for it in range(spline.max_iters):
+            s = state(U, w)
+            b = spline.assemble_vector(self.aug_density, U=s,
+                                       apply_bcs=self.apply_bcs, params=p)
+            if pipeline:
+                norm_dev = jnp.linalg.norm(b)
+                if pending is not None:
+                    done = check(*pending)
+                    if done is not None:
+                        return done
+                pending = (it, norm_dev, U, w)
+            else:
+                done = check(it, jnp.linalg.norm(b), U, w)
+                if done is not None:
+                    return done
             if lhs_state is None or not self.reuse_lhs:
                 lhs_state = s
             dU = spline._solve_linearized(self.aug_density, lhs_state, b,
                                           params=p)
             U = U - dU
             w = w + penalty * U
+        if pending is not None:
+            done = check(*pending)
+            if done is not None:
+                return done
         raise NewtonError("Iterated penalty solver failed to converge.")
 
 

@@ -143,6 +143,10 @@ class ExtractedSpline:
         self.mg_omega = 0.7
         self.mg_dtype = None            # e.g. float32: V-cycle precision
         self._mg_cache = {}
+        self.sa_coarsen = 3.0           # aggregate size for "sa_cg"
+        self.sa_smooth = 2
+        self.sa_omega_P = 0.66
+        self._sa_cache = {}
         self._asm_cast_cache = {}
 
         # eagerly build the volume assembler
@@ -154,7 +158,8 @@ class ExtractedSpline:
                            linear_solver=None, linear_tol=None,
                            linear_max_iter=None, dense_threshold=None,
                            mg_levels=None, mg_smooth=None, mg_omega=None,
-                           mg_dtype=None):
+                           mg_dtype=None, sa_coarsen=None, sa_smooth=None,
+                           sa_omega_P=None):
         if max_iters is not None:
             self.max_iters = max_iters
         if relative_tolerance is not None:
@@ -183,6 +188,18 @@ class ExtractedSpline:
             # cost while the outer CG stays f64-accurate
             self.mg_dtype = jnp.dtype(mg_dtype)
             self._mg_cache = {}
+        if sa_coarsen is not None:
+            # aggregate diameter (x mean control spacing) for the
+            # algebraic two-level path linear_solver="sa_cg"
+            # (solvers/aggregation.py -- T-splines, merged multipatch)
+            self.sa_coarsen = float(sa_coarsen)
+            self._sa_cache = {}
+        if sa_smooth is not None:
+            self.sa_smooth = int(sa_smooth)
+            self._sa_cache = {}
+        if sa_omega_P is not None:
+            self.sa_omega_P = float(sa_omega_P)
+            self._sa_cache = {}
 
     # -- tabulation / assembler construction ------------------------------------
 
@@ -561,6 +578,35 @@ class ExtractedSpline:
             return solve_krylov(action, rhs, method="cg",
                                 tol=self.linear_tol,
                                 maxiter=self.linear_max_iter, M=M)
+
+        if method == "sa_cg":
+            # algebraic two-level smoothed aggregation: the preconditioner
+            # for NON-tensor-product spaces (T-splines with extraordinary
+            # points, C0-merged multipatch) where the geometric hierarchy
+            # of "mg_cg" does not exist (solvers/aggregation.py).  The
+            # BCOO tangent is assembled once and reused for the Krylov
+            # matvecs; the preconditioner is cached per (form, params)
+            # like the mg_cg V-cycle (built at the first call's state).
+            from ..solvers.aggregation import TwoLevelSA
+            fkey, _, _ = self._form_key(form)
+            if params is None:
+                pkey = None
+            else:
+                leaves, treedef = jax.tree_util.tree_flatten(params)
+                pkey = (str(treedef),
+                        tuple(np.asarray(leaf).tobytes() for leaf in leaves))
+            cached = self._sa_cache.get((fkey, apply_bcs))
+            if cached is not None and cached[0] == pkey:
+                pre, M_sp = cached[1]
+            else:
+                pre, M_sp = TwoLevelSA.from_spline(
+                    self, form, U=U, params=params,
+                    coarsen=self.sa_coarsen, omega_P=self.sa_omega_P,
+                    n_smooth=self.sa_smooth, apply_bcs=apply_bcs)
+                self._sa_cache[(fkey, apply_bcs)] = (pkey, (pre, M_sp))
+            return solve_krylov(lambda W: M_sp @ W, rhs, method="cg",
+                                tol=self.linear_tol,
+                                maxiter=self.linear_max_iter, M=pre)
 
         diag = self.assemble_diagonal(form, U=U, params=params,
                                       apply_bcs=apply_bcs)

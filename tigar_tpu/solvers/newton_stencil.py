@@ -253,7 +253,7 @@ class StencilNewton:
     def __init__(self, spline, adjoint_res, mg_splines=(), cg_iters=15,
                  n_smooth=2, omega=0.7, build_chunk32=None,
                  build_chunk64=1024, setup_log=None, coarse_cache=None,
-                 polish_cg_iters=30):
+                 polish_cg_iters=30, _precomputed=None):
         """``coarse_cache``: optional .npz path caching the (zero-state,
         state-independent) coarse stencils + dense inverse across
         processes.  The caller owns the key (include discretization and
@@ -284,6 +284,10 @@ class StencilNewton:
         self.basis = _equal_order_basis(spline)
         self.nf = spline.space.nfields
         self.mg_splines = list(mg_splines)
+        self._n_smooth = int(n_smooth)
+        self._omega = float(omega)
+        self._polish_cg_iters = int(polish_cg_iters)
+        self._P0_f64 = None
 
         adjoint = self.adjoint
         basis = self.basis
@@ -318,6 +322,21 @@ class StencilNewton:
                               dtype=jnp.float32)
                   for kc, kf in zip(reversed(bc.kvs), reversed(bf.kvs)))
             for bf, bc in zip(all_bases[:-1], all_bases[1:]))
+
+        if _precomputed is not None:
+            # shared ladder handed down by a parent solver (coarse_solver):
+            # every zero-state coarse stencil below this level is identical
+            # to the parent's, so rebuilding them would only re-pay device
+            # programs (including the cursed 64^2 jet-Hessian worker
+            # compile, see coarse_cache rationale below)
+            if not self.mg_splines:
+                raise ValueError("StencilNewton requires at least one "
+                                 "coarser spline in mg_splines")
+            (self._coarse_sts, self._coarse_dinvs, self._coarse_masks,
+             self._coarse_inv) = _precomputed
+            self._st64 = None
+            self._res_cpu = None
+            return
 
         # Coarse stencils: built once at the zero state.  Default is the
         # accelerator (execution is milliseconds; compiles are cached in the
@@ -462,12 +481,15 @@ class StencilNewton:
 
     # -- Newton steps ----------------------------------------------------------
 
-    def step(self, U):
+    def step(self, U, st=None):
         """One PRODUCTION Newton step (all-f32 linear algebra): returns
-        (U_new, r_norm_device_scalar, dU)."""
+        (U_new, r_norm_device_scalar, dU).  ``st``: optional frozen f32
+        stencil to use instead of rebuilding at U (chord/modified Newton --
+        converges linearly but skips the tangent build entirely)."""
         U32 = U.astype(jnp.float32)
         r = self._res(self.asm32, self.mask32, U32)
-        st = self._build(self.asm_b32, U32)
+        if st is None:
+            st = self._build(self.asm_b32, U32)
         dU = self._inner_solve(st, r).astype(U.dtype)
         return U - dU, jnp.linalg.norm(r), dU
 
@@ -491,6 +513,91 @@ class StencilNewton:
         from ..forms import adjoint_of
         return cls(spline, adjoint_of(residual_density),
                    mg_splines=mg_splines, **kwargs)
+
+    # -- nested iteration (full-multigrid Newton) ------------------------------
+
+    def coarse_solver(self, **kwargs):
+        """StencilNewton on mg_splines[0] (the next-coarser space) with
+        mg_splines[1:] as its MG ladder, REUSING this solver's precomputed
+        zero-state coarse stencils and dense inverse -- constructing it
+        runs no new coarse-level device programs.  Requires
+        len(mg_splines) >= 2 (the coarse solver needs its own ladder)."""
+        if len(self.mg_splines) < 2:
+            raise ValueError("coarse_solver needs at least two mg_splines "
+                             "(the coarse level must keep a ladder below "
+                             "it)")
+        kwargs.setdefault("cg_iters", self.cg_iters)
+        kwargs.setdefault("n_smooth", self._n_smooth)
+        kwargs.setdefault("omega", self._omega)
+        kwargs.setdefault("polish_cg_iters", self._polish_cg_iters)
+        return StencilNewton(
+            self.mg_splines[0], self.adjoint,
+            mg_splines=self.mg_splines[1:],
+            _precomputed=(self._coarse_sts[1:], self._coarse_dinvs[1:],
+                          self._coarse_masks[1:], self._coarse_inv),
+            **kwargs)
+
+    def prolong_solution(self, Uc):
+        """Exact knot-insertion prolongation of a coarse solution
+        (mg_splines[0] coefficients) into the fine space.  Nested spline
+        spaces represent the coarse function EXACTLY, so this is the ideal
+        fine initial guess (nested iteration / FMG); BC layers stay zero
+        up to roundoff and are re-masked."""
+        bc = _equal_order_basis(self.mg_splines[0])
+        if self._P0_f64 is None:
+            self._P0_f64 = tuple(
+                jnp.asarray(insertion_matrix_1d(kc, kf),
+                            dtype=self.spline.dtype)
+                for kc, kf in zip(reversed(bc.kvs),
+                                  reversed(self.basis.kvs)))
+        shape_c = tuple(kv.ncp for kv in reversed(bc.kvs))
+        U = _grid_prolong(self._P0_f64, Uc.astype(self.spline.dtype),
+                          self.nf, shape_c)
+        return self.mask64 * U
+
+    def solve_nested(self, rtol=1e-10, coarse_rtol=1e-4, depth=1,
+                     coarse_chord=False, switch_rel=3e-5, max_iters=40,
+                     log=None, coarse_kwargs=None, **kwargs):
+        """Nested iteration (full-multigrid Newton): drive the nonlinear
+        transient on the next-coarser space (1/2^dim the per-step cost),
+        prolong the coarse solution exactly (prolong_solution), then run
+        the usual mixed-precision solve from that guess.  The fine level
+        skips the from-zero transient entirely (measured at q=100, 128^2:
+        the first from-zero step overshoots the residual 29x before the
+        polish phase recovers).
+
+        coarse_chord=True runs the coarse stage with the FROZEN zero-state
+        stencil (chord Newton, no coarse-level per-step tangent builds --
+        relevant because the 64^2 jet-Hessian build re-pays a ~300-500 s
+        hidden worker-side compile per process through this machine's
+        tunnel; the disk-cached zero-state stencil sidesteps it).  depth>1
+        recurses the coarse stage.  Relative residuals are normalized by
+        the ZERO-state norm on each level, so ``rtol`` keeps its usual
+        from-zero meaning.  Returns (U, rel, total_steps, dU_rel) with
+        total_steps = coarse + fine Newton steps."""
+        cs = self.coarse_solver(**(coarse_kwargs or {}))
+        clog = (lambda s: log("[coarse] " + s)) if log else None
+        st = self._coarse_sts[0] if coarse_chord else None
+        if depth > 1 and len(cs.mg_splines) >= 2:
+            Uc, relc, nc, _ = cs.solve_nested(
+                rtol=coarse_rtol, coarse_rtol=coarse_rtol, depth=depth - 1,
+                coarse_chord=coarse_chord, max_iters=max_iters, log=clog,
+                polish=False, f32_stencil=st)
+        else:
+            Uc, relc, nc, _ = cs.solve(rtol=coarse_rtol, polish=False,
+                                       f32_stencil=st, max_iters=max_iters,
+                                       log=clog)
+        if log:
+            log(f"[coarse] done: rel |r| = {relc:.3e} in {nc} steps; "
+                f"prolonging to {self.spline.ndof} DoFs")
+        U0 = self.prolong_solution(Uc)
+        r0f = float(jnp.linalg.norm(self._res(
+            self.asm32, self.mask32,
+            jnp.zeros(self.spline.ndof, dtype=jnp.float32))))
+        U, rel, nf_, dU_rel = self.solve(
+            U0=U0, rtol=rtol, switch_rel=switch_rel, max_iters=max_iters,
+            log=log, r0=r0f, **kwargs)
+        return U, rel, nc + nf_, dU_rel
 
     def _mixed_solve(self, st64, st32, b64):
         """f64 CG preconditioned by the f32 V-cycle (one fused program):
@@ -550,7 +657,8 @@ class StencilNewton:
         return rn if r0 is None else rn / r0
 
     def solve(self, U0=None, rtol=1e-10, switch_rel=3e-5, max_iters=40,
-              log=None, log_true_residual=False, polish_sweeps=3):
+              log=None, log_true_residual=False, polish_sweeps=3,
+              r0=None, f32_stencil=None, polish=True):
         """Full mixed-precision Newton solve: f32 production steps until
         the relative residual reaches ``switch_rel`` or stops halving
         (the f32 assembly's absolute noise floor), then f64-residual
@@ -560,10 +668,16 @@ class StencilNewton:
         cpu_true_residual -- see its docstring).  Returns
         (U, rel_f64, n_steps, dU_rel) with dU_rel = |last dU| / |U|, the
         increment-based convergence measure that stays meaningful at the
-        evaluation floor."""
+        evaluation floor.
+
+        ``r0``: reference residual norm for the relative-convergence test
+        (default: the first iterate's residual norm -- pass the zero-state
+        norm explicitly when starting from a nonzero ``U0`` so rtol keeps
+        its usual meaning).  ``f32_stencil``: frozen f32 tangent for the
+        production phase (chord Newton; see step())."""
         U = (jnp.zeros(self.spline.ndof, dtype=self.spline.dtype)
              if U0 is None else U0)
-        r0 = None
+        r0 = None if r0 is None else float(r0)
         r0_64 = None
         prev_rel = np.inf
         phase64 = False
@@ -590,7 +704,7 @@ class StencilNewton:
                 dUn = float(jnp.linalg.norm(dU))
                 dU_rel = dUn / un if un > 0 else dUn
             else:
-                U, rn, _dU = self.step(U)
+                U, rn, _dU = self.step(U, st=f32_stencil)
             rn = float(rn)
             if r0 is None:
                 r0 = rn
@@ -606,6 +720,14 @@ class StencilNewton:
                         jnp.zeros_like(U) if U0 is None else U0)))
                 log(f"      true f64 rel |r| = "
                     f"{self.true_rel_residual(U, r0_64):.3e}")
+            if not polish:
+                # f32-only mode (coarse stage of solve_nested): stop at
+                # rtol or when the f32 phase stops contracting (its
+                # absolute assembly noise floor, or chord-Newton stall)
+                if rel <= rtol or (it > 0 and rel > 0.95 * prev_rel):
+                    return U, rel, it + 1, dU_rel
+                prev_rel = rel
+                continue
             if phase64:
                 if rel <= rtol:
                     return U, rel, it + 1, dU_rel
