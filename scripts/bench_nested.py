@@ -75,15 +75,31 @@ def main():
                           f"bench_coarse_{nel}_p{p}_{E_mod:g}_{nu:g}_"
                           f"{h_th:g}.npz")
     t0 = time.time()
+    polish_cg = int(os.environ.get("BENCH_POLISH_CG", "30"))
+    tangent = os.environ.get("BENCH_POLISH_TANGENT", "f64")
+    bqd = os.environ.get("BENCH_BUILD_QD")
+    bqd = None if bqd is None else int(bqd)
+    rrel = float(os.environ.get("BENCH_REBUILD_REL", "1e-5"))
     ns = StencilNewton(spline, res_adj, mg_splines=mg_splines,
-                       cg_iters=15, setup_log=log, coarse_cache=ccache)
-    log(f"setup {time.time() - t0:.1f}s")
+                       cg_iters=15, setup_log=log, coarse_cache=ccache,
+                       polish_cg_iters=polish_cg, polish_tangent=tangent,
+                       build_quad_degree=bqd, rebuild_rel=rrel)
+    log(f"setup {time.time() - t0:.1f}s (polish_cg_iters={polish_cg}, "
+        f"polish_tangent={tangent}, build_quad_degree={bqd}, "
+        f"rebuild_rel={rrel})")
 
     results = {}
-    runs = [("flat", dict())]
-    if mode in ("chord", "both"):
+    # mode: comma-separated subset of {flat, chord, rebuild} or "both"
+    # (= flat,chord,rebuild); run order matters through the compile cache,
+    # so single-mode runs give the honest fresh-process numbers
+    sel = (("flat", "chord", "rebuild") if mode == "both"
+           else tuple(mode.split(",")))
+    runs = []
+    if "flat" in sel:
+        runs.append(("flat", dict()))
+    if "chord" in sel:
         runs.append(("nested_chord", dict(coarse_chord=True)))
-    if mode in ("rebuild", "both"):
+    if "rebuild" in sel:
         runs.append(("nested_rebuild", dict(coarse_chord=False)))
     for name, kw in runs:
         t0 = time.time()

@@ -132,6 +132,28 @@ def test_solve_nested_matches_flat_solve():
         assert err < 1e-8, (chord, err)
 
 
+def test_tuned_production_options():
+    """The tuned production configuration (bench.py at <=128^2):
+    flexible-CG polish with the CAST f64 tangent (f32-assembled stencil
+    cast to f64), REDUCED-QUADRATURE tangent builds (2-point Gauss), and
+    early stencil freeze (rebuild_rel=0.1) must still converge the true
+    f64 residual to 1e-10 and match the full-accuracy solve.  Guards the
+    round-3 measured verdicts (42.2 s full solve at 128^2)."""
+    spline = _build(16)
+    ns = StencilNewton(spline, _res_adj, mg_splines=[_build(8), _build(4)],
+                       cg_iters=25, polish_tangent="cast",
+                       build_quad_degree=2, rebuild_rel=0.1)
+    U, rel, nit, dU_rel = ns.solve(rtol=1e-10)
+    assert rel < 1e-10, (rel, nit)
+    # reduced-quadrature assemblers carry their own shell_ref (ctx hook)
+    assert "shell_ref" in (ns.asm_b32.ctx.aux or {})
+    ns_ref = StencilNewton(_build(16), _res_adj,
+                           mg_splines=[_build(8), _build(4)], cg_iters=25)
+    U_ref, _, _, _ = ns_ref.solve(rtol=1e-10)
+    err = float(jnp.max(jnp.abs(U - U_ref)) / jnp.max(jnp.abs(U_ref)))
+    assert err < 1e-8, err
+
+
 def test_coarse_solver_reuses_ladder():
     """coarse_solver shares the parent's zero-state stencils (no
     rebuild) and refuses to run without a ladder of its own."""

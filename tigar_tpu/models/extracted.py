@@ -127,6 +127,8 @@ class ExtractedSpline:
 
         self._tab_cache = {}
         self._assemblers = {}
+        self._ctx_hooks = []   # fns(domain, asm) run on new assemblers
+                               # (aux precomputation, e.g. shell_ref)
         self._jit_cache = {}
         self._where_cache = {}
         self.mask = jnp.asarray(space.bc_mask(), dtype=self.dtype)
@@ -244,9 +246,12 @@ class ExtractedSpline:
                          and nel > DEFAULT_ASSEMBLY_CHUNK else None)
             elif not chunk:
                 chunk = None
-            self._assemblers[akey] = DomainAssembler(
+            asm = DomainAssembler(
                 tabs, self.space.offsets, self.ndof, geom, scale,
                 chunk=chunk)
+            for hook in self._ctx_hooks:
+                hook(domain, asm)
+            self._assemblers[akey] = asm
         return self._assemblers[akey]
 
     def _terms(self, form):

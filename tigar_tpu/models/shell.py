@@ -190,11 +190,13 @@ def precompute_shell_reference(spline, domain="dx"):
     """Attach precomputed ShellReference data to the spline's assembler
     ctx (under ``ctx.aux['shell_ref']``); subsequent svk_psi_surface
     evaluations skip all reference-side geometry work.  Call once after
-    constructing the ExtractedSpline (nders=2)."""
-    for quad_key in list(spline._assemblers.keys()):
-        if quad_key[0] != domain:
-            continue
-        asm = spline._assemblers[quad_key]
+    constructing the ExtractedSpline (nders=2).  Registered as a ctx
+    hook, so assemblers created LATER (e.g. the reduced-quadrature
+    tangent-build assembler of StencilNewton(build_quad_degree=...))
+    get their own shell_ref automatically."""
+    def attach(dom, asm):
+        if dom != domain:
+            return
         fn = jax.vmap(shell_reference)
         if asm.ctx.x.ndim == 3:   # [nel, nq, ...] generic layout
             fn = jax.vmap(fn)
@@ -202,6 +204,10 @@ def precompute_shell_reference(spline, domain="dx"):
         aux = dict(asm.ctx.aux or {})
         aux["shell_ref"] = ref
         asm.ctx = asm.ctx._replace(aux=aux)
+
+    for quad_key in list(spline._assemblers.keys()):
+        attach(quad_key[0], spline._assemblers[quad_key])
+    spline._ctx_hooks.append(attach)
     spline._jit_cache.clear()
     return spline
 

@@ -95,6 +95,16 @@ class StencilOperator:
                 out = out + jnp.einsum(spec, Soff, shifted)
         return out.reshape(-1)
 
+    def astype(self, dtype):
+        """Same stencil with cast values (e.g. f32-assembled values cast
+        to f64 so the apply runs in f64 ARITHMETIC: the mixed-precision
+        Krylov floor comes from reduced-precision recurrences/matvec
+        arithmetic, not from eps32 rounding of the operator VALUES --
+        Newton tolerates an eps32-perturbed tangent the same way it
+        tolerates a frozen one)."""
+        return StencilOperator(self.S.astype(dtype), self.grid_shape,
+                               self.degrees, self.nf)
+
     def diagonal(self):
         """Operator diagonal (Jacobi smoothing)."""
         center = tuple(p for p in self.degrees)

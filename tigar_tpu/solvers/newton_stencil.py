@@ -218,17 +218,27 @@ def make_stencil_mgcg_mixed(nf, grid_shapes, n_smooth=2, omega=0.7,
         rz0 = jnp.vdot(r0, z0)
 
         def body(_, state):
+            # FLEXIBLE CG (Polak-Ribiere beta): the f32 V-cycle is a
+            # NOISY preconditioner -- its output carries eps32*kappa
+            # relative noise, i.e. it is a slightly different map every
+            # call.  Fletcher-Reeves PCG loses conjugacy under a varying
+            # M and STALLS at the preconditioner's noise level (measured
+            # at 256^2 shells: 90 inner iterations contract the Newton
+            # step no better than 30).  The PR beta re-orthogonalizes
+            # against the previous residual and restores convergence.
             x, r, p, rz = state
             Ap = A(p)
             pAp = jnp.vdot(p, Ap)
             alpha = jnp.where(pAp != 0.0, rz / pAp, 0.0)
             x = x + alpha * p
-            r = r - alpha * Ap
-            z = M(r)
-            rz_new = jnp.vdot(r, z)
-            beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
+            r_new = r - alpha * Ap
+            z = M(r_new)
+            rz_new = jnp.vdot(r_new, z)
+            beta = jnp.where(rz != 0.0,
+                             jnp.vdot(r_new - r, z) / rz, 0.0)
+            beta = jnp.maximum(beta, 0.0)
             p = z + beta * p
-            return x, r, p, rz_new
+            return x, r_new, p, rz_new
 
         x, r, _, _ = jax.lax.fori_loop(0, n_iters, body, (x0, r0, z0, rz0))
         return x
@@ -253,7 +263,9 @@ class StencilNewton:
     def __init__(self, spline, adjoint_res, mg_splines=(), cg_iters=15,
                  n_smooth=2, omega=0.7, build_chunk32=None,
                  build_chunk64=1024, setup_log=None, coarse_cache=None,
-                 polish_cg_iters=30, _precomputed=None):
+                 polish_cg_iters=30, polish_tangent="f64",
+                 build_quad_degree=None, rebuild_rel=1e-5,
+                 _precomputed=None):
         """``coarse_cache``: optional .npz path caching the (zero-state,
         state-independent) coarse stencils + dense inverse across
         processes.  The caller owns the key (include discretization and
@@ -270,15 +282,27 @@ class StencilNewton:
         self.cg_iters = int(cg_iters)
         self.asm64 = spline._assembler("dx")
         self.asm32 = self.asm64.astype(jnp.float32)
+        # Tangent builds may use a REDUCED quadrature rule: the Newton
+        # operator only needs to be SPD-ish accurate, and quadrature error
+        # is a smooth structured perturbation (same robustness class as
+        # the frozen tangent the convergence tail already uses) -- unlike
+        # the eps32 value rounding of polish_tangent="cast", which is
+        # kappa-amplified random noise.  build_quad_degree=2 (2-point
+        # Gauss) cuts the dominant jet-Hessian build cost ~9/4.
+        self._build_quad_degree = build_quad_degree
+        asm64_b = (self.asm64 if build_quad_degree is None
+                   else spline._assembler("dx",
+                                          quad_degree=build_quad_degree))
+        asm32_b = asm64_b.astype(jnp.float32)
         # jet-Hessian element-matrix builds carry [chunk, nq, J, nloc]
         # intermediates that XLA pads heavily (small trailing dims); the
         # emulated-f64 build at the residual chunk default (8192) exceeds
         # one v5e's HBM at 128^2 shells (measured: 18.9 G of 15.75 G), so
         # builds get their own, smaller chunk.
-        self.asm_b32 = (self.asm32 if build_chunk32 is None
-                        else self.asm32.with_chunk(build_chunk32))
-        self.asm_b64 = (self.asm64 if build_chunk64 is None
-                        else self.asm64.with_chunk(build_chunk64))
+        self.asm_b32 = (asm32_b if build_chunk32 is None
+                        else asm32_b.with_chunk(build_chunk32))
+        self.asm_b64 = (asm64_b if build_chunk64 is None
+                        else asm64_b.with_chunk(build_chunk64))
         self.mask64 = spline.mask
         self.mask32 = spline.mask.astype(jnp.float32)
         self.basis = _equal_order_basis(spline)
@@ -287,6 +311,21 @@ class StencilNewton:
         self._n_smooth = int(n_smooth)
         self._omega = float(omega)
         self._polish_cg_iters = int(polish_cg_iters)
+        # "f64": rebuild the polish CG operator by emulated-f64 jet-Hessian
+        # assembly (expensive: 28 s/rebuild at 256^2 but REQUIRED there --
+        # see polish_step).  "cast": reuse the f32 stencil cast to f64
+        # (measured at 256^2: eps32 value-rounding is kappa~n^4 amplified,
+        # Newton contraction collapses to 0.65/step and the solve never
+        # reaches 1e-10; fine at small kappa).
+        self.polish_tangent = str(polish_tangent)
+        # polish stencils are rebuilt while rel > rebuild_rel and frozen
+        # after.  With exact (full-quadrature) tangents the frozen chord
+        # still contracts 20-50x/step, so 1e-5 is safely late; with
+        # build_quad_degree=2 the contraction is QUADRATURE-error-limited
+        # at ~5x/step whether fresh or frozen (measured 256^2), so
+        # rebuilding past the nonlinear transient buys nothing --
+        # set rebuild_rel ~ 1e-1 there.
+        self.rebuild_rel = float(rebuild_rel)
         self._P0_f64 = None
 
         adjoint = self.adjoint
@@ -530,6 +569,9 @@ class StencilNewton:
         kwargs.setdefault("n_smooth", self._n_smooth)
         kwargs.setdefault("omega", self._omega)
         kwargs.setdefault("polish_cg_iters", self._polish_cg_iters)
+        kwargs.setdefault("polish_tangent", self.polish_tangent)
+        kwargs.setdefault("build_quad_degree", self._build_quad_degree)
+        kwargs.setdefault("rebuild_rel", self.rebuild_rel)
         return StencilNewton(
             self.mg_splines[0], self.adjoint,
             mg_splines=self.mg_splines[1:],
@@ -555,36 +597,50 @@ class StencilNewton:
                           self.nf, shape_c)
         return self.mask64 * U
 
-    def solve_nested(self, rtol=1e-10, coarse_rtol=1e-4, depth=1,
-                     coarse_chord=False, switch_rel=3e-5, max_iters=40,
-                     log=None, coarse_kwargs=None, **kwargs):
+    def solve_nested(self, rtol=1e-10, coarse_rtol=1e-5, depth=1,
+                     coarse_chord=False, coarse_polish=True,
+                     switch_rel=3e-5, max_iters=40, log=None,
+                     coarse_kwargs=None, **kwargs):
         """Nested iteration (full-multigrid Newton): drive the nonlinear
         transient on the next-coarser space (1/2^dim the per-step cost),
         prolong the coarse solution exactly (prolong_solution), then run
-        the usual mixed-precision solve from that guess.  The fine level
-        skips the from-zero transient entirely (measured at q=100, 128^2:
-        the first from-zero step overshoots the residual 29x before the
-        polish phase recovers).
+        the fine mixed-precision solve from that guess -- skipping the
+        fine level's from-zero transient entirely (measured at q=100,
+        128^2: the first from-zero step overshoots the residual 29x
+        before the polish phase recovers).  When the coarse stage
+        converges below the f32 noise floor, the fine solve starts
+        directly in the polish phase (``start_polish``).
 
-        coarse_chord=True runs the coarse stage with the FROZEN zero-state
-        stencil (chord Newton, no coarse-level per-step tangent builds --
-        relevant because the 64^2 jet-Hessian build re-pays a ~300-500 s
-        hidden worker-side compile per process through this machine's
-        tunnel; the disk-cached zero-state stencil sidesteps it).  depth>1
-        recurses the coarse stage.  Relative residuals are normalized by
-        the ZERO-state norm on each level, so ``rtol`` keeps its usual
-        from-zero meaning.  Returns (U, rel, total_steps, dU_rel) with
-        total_steps = coarse + fine Newton steps."""
+        coarse_polish=True (default) runs the FULL mixed-precision solve
+        on the coarse level down to ``coarse_rtol`` -- the productive
+        configuration, but it rebuilds coarse-level tangent stencils per
+        step, so on this machine it requires the coarse level to be a
+        fine-chunked shape (128^2+): the 64^2 jet-Hessian build re-pays a
+        ~300-500 s hidden worker-side compile per process through the
+        remote tunnel.  Use nested iteration when the FINE level is 256^2
+        or larger; at 128^2 the flat solve stays the production path.
+
+        coarse_chord=True instead freezes the ZERO-state coarse stencil
+        (no coarse-level builds at all -- tunnel-safe at any size), but
+        chord Newton only converges for mild loads: at q=100 the frozen
+        bending-only tangent overshoots immediately (measured rel 57x
+        after one step) and the stage stalls out, handing over a poor
+        guess.  depth>1 recurses the coarse stage.  Relative residuals
+        are normalized by the ZERO-state norm on each level, so ``rtol``
+        keeps its usual from-zero meaning.  Returns
+        (U, rel, total_steps, dU_rel), total_steps = coarse + fine."""
         cs = self.coarse_solver(**(coarse_kwargs or {}))
         clog = (lambda s: log("[coarse] " + s)) if log else None
         st = self._coarse_sts[0] if coarse_chord else None
+        use_polish = coarse_polish and not coarse_chord
         if depth > 1 and len(cs.mg_splines) >= 2:
             Uc, relc, nc, _ = cs.solve_nested(
                 rtol=coarse_rtol, coarse_rtol=coarse_rtol, depth=depth - 1,
-                coarse_chord=coarse_chord, max_iters=max_iters, log=clog,
-                polish=False, f32_stencil=st)
+                coarse_chord=coarse_chord, coarse_polish=coarse_polish,
+                max_iters=max_iters, log=clog,
+                polish=use_polish, f32_stencil=st)
         else:
-            Uc, relc, nc, _ = cs.solve(rtol=coarse_rtol, polish=False,
+            Uc, relc, nc, _ = cs.solve(rtol=coarse_rtol, polish=use_polish,
                                        f32_stencil=st, max_iters=max_iters,
                                        log=clog)
         if log:
@@ -594,9 +650,18 @@ class StencilNewton:
         r0f = float(jnp.linalg.norm(self._res(
             self.asm32, self.mask32,
             jnp.zeros(self.spline.ndof, dtype=jnp.float32))))
+        # the FINE residual of the prolonged guess is dominated by the
+        # coarse-to-fine discretization gap, not by relc; f32 production
+        # steps are only productive well above the f32 assembly noise
+        # floor (~10x switch_rel) -- below that, start in polish directly
+        rel0 = float(jnp.linalg.norm(self._res(
+            self.asm32, self.mask32, U0.astype(jnp.float32)))) / r0f
+        if log:
+            log(f"[fine] prolonged guess rel |r| = {rel0:.3e}")
         U, rel, nf_, dU_rel = self.solve(
             U0=U0, rtol=rtol, switch_rel=switch_rel, max_iters=max_iters,
-            log=log, r0=r0f, **kwargs)
+            log=log, r0=r0f, start_polish=bool(rel0 <= 10.0 * switch_rel),
+            **kwargs)
         return U, rel, nc + nf_, dU_rel
 
     def _mixed_solve(self, st64, st32, b64):
@@ -615,12 +680,29 @@ class StencilNewton:
         """One POLISH step: f64 residual, f64-CG solve with the f32
         V-cycle preconditioner (``sweeps`` kept for API compatibility,
         unused).  ``rebuild`` refreshes both stencils at the current U.
-        Returns (U_new, |r64| before the step, dU)."""
+        Returns (U_new, |r64| before the step, dU).
+
+        With polish_tangent="cast" the f64 CG OPERATOR is the
+        f32-ASSEMBLED stencil cast to f64: what the mixed solve needs in
+        f64 is the ARITHMETIC (the eps32*kappa attainable-accuracy floor
+        lives in reduced-precision recurrences and matvec rounding, not
+        in the operator values), so the emulated-f64 jet-Hessian rebuild
+        (31.8 s/step at 256^2 vs 3.4 s frozen -- 86% of the whole flat
+        solve) disappears while the floor certificate (f64 residual vs
+        CPU-IEEE) is unchanged.  BUT the eps32 value noise is
+        kappa-amplified: measured safe at 128^2 (42.2 s full solve,
+        floor-certified) and divergent at 256^2 (contraction collapses
+        to 0.65/step, 1e-10 never reached) -- hence the instance default
+        is "f64" and callers opt into "cast" at small kappa (bench.py
+        does at 128^2)."""
         r64 = self._res(self.asm64, self.mask64, U)
         if self._st64 is None or rebuild:
             U32 = U.astype(jnp.float32)
             self._st32_frozen = self._build(self.asm_b32, U32)
-            self._st64 = self._build(self.asm_b64, U)
+            if self.polish_tangent == "f64":
+                self._st64 = self._build(self.asm_b64, U)
+            else:
+                self._st64 = self._st32_frozen.astype(U.dtype)
         dU = self._mixed_solve(self._st64, self._st32_frozen, r64)
         return U - dU, jnp.linalg.norm(r64), dU
 
@@ -658,7 +740,8 @@ class StencilNewton:
 
     def solve(self, U0=None, rtol=1e-10, switch_rel=3e-5, max_iters=40,
               log=None, log_true_residual=False, polish_sweeps=3,
-              r0=None, f32_stencil=None, polish=True):
+              r0=None, f32_stencil=None, polish=True,
+              start_polish=False):
         """Full mixed-precision Newton solve: f32 production steps until
         the relative residual reaches ``switch_rel`` or stops halving
         (the f32 assembly's absolute noise floor), then f64-residual
@@ -674,17 +757,23 @@ class StencilNewton:
         (default: the first iterate's residual norm -- pass the zero-state
         norm explicitly when starting from a nonzero ``U0`` so rtol keeps
         its usual meaning).  ``f32_stencil``: frozen f32 tangent for the
-        production phase (chord Newton; see step())."""
+        production phase (chord Newton; see step()).  ``start_polish``:
+        begin directly in the f64 polish phase -- for initial guesses
+        already below the f32 assembly noise floor (~2e-4 relative at
+        128^2 shells), where an f32 production step would only re-inject
+        noise (nested iteration hands over such guesses)."""
         U = (jnp.zeros(self.spline.ndof, dtype=self.spline.dtype)
              if U0 is None else U0)
         r0 = None if r0 is None else float(r0)
         r0_64 = None
         prev_rel = np.inf
-        phase64 = False
+        phase64 = bool(start_polish) and polish
         polish_its = 0
         stalls = 0
         dU_rel = np.inf
+        import time as _time
         for it in range(max_iters):
+            _t_it = _time.time()
             if phase64:
                 # Rebuild the f64 stencil while far from the root; once
                 # within ~1e-5 the frozen tangent's linear contraction is
@@ -696,7 +785,7 @@ class StencilNewton:
                 # at q=100, 128^2) is a GOOD state (polish converges from
                 # it in ~4 steps) while damping to enforce monotonicity
                 # creeps at ~0.95/step and never recovers.
-                rebuild = polish_its == 0 or prev_rel > 1e-5
+                rebuild = polish_its == 0 or prev_rel > self.rebuild_rel
                 U, rn, dU = self.polish_step(U, rebuild=rebuild,
                                              sweeps=polish_sweeps)
                 polish_its += 1
@@ -712,7 +801,8 @@ class StencilNewton:
             if log:
                 log(f"  newton it {it} ({'f64' if phase64 else 'f32'}): "
                     f"rel |r| = {rel:.3e}"
-                    + (f", |dU|/|U| = {dU_rel:.2e}" if phase64 else ""))
+                    + (f", |dU|/|U| = {dU_rel:.2e}" if phase64 else "")
+                    + f"  [{_time.time() - _t_it:.2f}s]")
             if log and log_true_residual and not phase64:
                 if r0_64 is None:
                     r0_64 = float(jnp.linalg.norm(self._res(
@@ -740,6 +830,16 @@ class StencilNewton:
                         rel > 0.5 * prev_rel and dU_rel < 1e-9)):
                     return U, rel, it + 1, dU_rel
             elif rel <= switch_rel or (it > 0 and rel > 0.7 * prev_rel):
+                # f32 stopped halving: near switch_rel that is the f32
+                # assembly noise floor; far above it, a transient
+                # overshoot.  MEASURED (round 3): letting f32 retry the
+                # overshoot recovery does NOT pay at any scale -- the
+                # recovery step contracts only 0.81 (128^2) / 0.88
+                # (256^2), adding steps without shortening the f64 tail
+                # (256^2 flat: 440.7 s/17 steps with a two-stall patience
+                # vs 374.8 s/15 switching immediately).  The overshoot
+                # state is stiff for the f32 inner solve everywhere, so
+                # switch on the first stall.
                 phase64 = True
             prev_rel = rel
         return U, prev_rel, max_iters, dU_rel
