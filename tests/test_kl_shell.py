@@ -209,3 +209,33 @@ def test_adjoint_matches_ad():
     mt = float(jnp.max(jnp.abs(t_ref)))
     t_hand = asm.residual_vector_adjoint(tan_adj, {"u": U, "w": W})
     assert float(jnp.max(jnp.abs(t_hand - t_ref))) < 1e-13 * mt
+
+
+def test_hessian_matches_jacfwd():
+    """The hand-derived pointwise jet-Hessian (svk_shell_hessian) must
+    assemble the SAME element tangent matrices as the 21-direction jacfwd
+    sweep of the adjoint (element_matrices_adjoint) to f64 roundoff at a
+    large random displacement."""
+    from tigar_tpu.models.shell import (svk_shell_adjoint, svk_shell_hessian,
+                                        precompute_shell_reference)
+    E_mod, nu, h_th, q = 1.0e7, 0.3, 0.03, 1.0e-2
+
+    def res_adj(ctx, u):
+        F = svk_shell_adjoint(ctx, u, E_mod, nu, h_th)
+        return F._replace(val=F.val.at[2].add(-q))
+
+    def hess(ctx, u):
+        return svk_shell_hessian(ctx, u, E_mod, nu, h_th)
+
+    spline = precompute_shell_reference(make_shell_spline(5))
+    asm = spline._assembler("dx")
+    rng = np.random.default_rng(3)
+    U = jnp.asarray(rng.normal(size=spline.ndof) * 0.1)
+
+    E_ad = np.asarray(asm.element_matrices_adjoint(res_adj, U))
+    E_hand = np.asarray(asm.element_matrices_hessian(hess, U))
+    m = np.max(np.abs(E_ad))
+    assert np.max(np.abs(E_hand - E_ad)) < 1e-12 * m
+    # the hand Hessian is symmetric by construction; so must the
+    # jacfwd-built element matrices be (on the symmetric-h subspace)
+    assert np.max(np.abs(E_hand - E_hand.transpose(0, 2, 1))) < 1e-12 * m

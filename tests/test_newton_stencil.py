@@ -165,3 +165,30 @@ def test_coarse_solver_reuses_ladder():
     assert cs._coarse_inv is ns._coarse_inv
     with pytest.raises(ValueError, match="two mg_splines"):
         cs.coarse_solver()
+
+
+def test_hessian_build_full_solve():
+    """StencilNewton(hessian=svk_shell_hessian): the closed-form jet-
+    Hessian build path must produce the same fine stencil as the jacfwd
+    adjoint build (f32 roundoff) and converge the full mixed-precision
+    solve to the same 1e-10 floor."""
+    from tigar_tpu.models.shell import svk_shell_hessian
+
+    def hess(ctx, u):
+        return svk_shell_hessian(ctx, u, E_mod, nu, h_th)
+
+    spline = _build(8)
+    ns_h = StencilNewton(spline, _res_adj, mg_splines=[_build(4)],
+                         cg_iters=40, hessian=hess)
+    ns_a = StencilNewton(_build(8), _res_adj, mg_splines=[_build(4)],
+                         cg_iters=40)
+    rng = np.random.default_rng(7)
+    U = jnp.asarray(rng.normal(size=spline.ndof) * 1e-2,
+                    dtype=jnp.float32)
+    S_h = np.asarray(ns_h._build(ns_h.asm_b32, U).S, dtype=np.float64)
+    S_a = np.asarray(ns_a._build(ns_a.asm_b32, U).S, dtype=np.float64)
+    m = np.max(np.abs(S_a))
+    assert np.max(np.abs(S_h - S_a)) < 1e-5 * m
+
+    Uh, rel, nit, _ = ns_h.solve(rtol=1e-9)
+    assert rel < 1e-9, (rel, nit)

@@ -365,6 +365,199 @@ def svk_shell_tangent_adjoint(ctx, y, w, E_mod, nu, h_th):
                     (y,), (w,))[1]
 
 
+def _eps3(dtype):
+    """Levi-Civita tensor (cached per call site by XLA constant folding)."""
+    import numpy as _np
+    e = _np.zeros((3, 3, 3))
+    e[0, 1, 2] = e[1, 2, 0] = e[2, 0, 1] = 1.0
+    e[0, 2, 1] = e[2, 1, 0] = e[1, 0, 2] = -1.0
+    return jnp.asarray(e, dtype=dtype)
+
+
+def svk_shell_hessian(ctx, y, E_mod, nu, h_th):
+    """HAND-DERIVED pointwise jet-Hessian K [21, 21] of the SVK shell
+    energy: for any two displacement jets v, w (flattened in Jet ravel
+    order val[3], g[3,2], h[3,2,2]),
+
+        v_flat @ K @ w_flat == d^2/(de df) svk_psi_surface(ctx,
+                                   y + e*v + f*w, ...) |_{e=f=0}
+
+    on the symmetric-Hessian subspace (jets with h[:,c,d] == h[:,d,c] --
+    the only jets tabulation ever produces).  Replaces the 21-direction
+    ``jacfwd`` sweep of ``svk_shell_adjoint`` inside
+    ``ops/assembly.element_matrices_adjoint`` with a FIXED set of small
+    coefficient-tensor contractions, which is the cheap structure for the
+    TPU tangent-stencil build (the dominant term of the production Newton
+    step: measured 49% of the step at 128^2 before this path existed).
+
+    Derivation: with z = (g, h) the 18 non-val jet slots, materialize the
+    LINEAR maps of the first-variation chain of ``midsurface_geometry``
+    as coefficient matrices over z (Dn, Dnn, Da2, Ddn_c, Ds_c,
+    Dderiv_c), then write the second variation as
+
+      d2W = h  [lam (C1:Ev)(C1:Ew) + 2 mu Ev:(C1 Ew C1)]     (membrane)
+          + Nb : (dGv^T dGw)                                  (geo memb.)
+          + h^3/12 [lam (C1:Bv)(C1:Bw) + 2 mu Bv:(C1 Bw C1)] (bending)
+          + Mb : d2(cur_b)(v, w)                              (geo bend.)
+
+    with Ev = 0.5 d(cur_a)(v), Bv = d(cur_b)(v), C1 = ea^T ea, and the
+    geometric bending term expanded through the exact second variation of
+    the normalized-normal chain (atoms A-F in the code below; every
+    bilinear cross-product atom x.(p x q) becomes the matrix -C(x) via
+    the triple-product identity, C(x) the cross-product matrix).
+    Identity with the AD build pinned to f64 roundoff in
+    tests/test_kl_shell.py::test_hessian_matches_jacfwd.
+    """
+    sref = ctx.aux["shell_ref"]
+    ref_a, ref_b, ea = sref.a, sref.b, sref.ea
+
+    # primal chain (identical to svk_shell_adjoint) --------------------------
+    G = ctx.DF + y.g                                  # [3, 2]
+    H = ctx.d2F + y.h                                 # [3, 2, 2]
+    dt = G.dtype
+    a0, a1 = G[:, 0], G[:, 1]
+    n = jnp.cross(a0, a1)
+    nn = jnp.sqrt(jnp.dot(n, n))
+    a2 = n / nn
+    dn = (jnp.cross(H[:, 0, :], a1[:, None], axisa=0, axisb=0, axisc=0)
+          + jnp.cross(a0[:, None], H[:, 1, :], axisa=0, axisb=0, axisc=0))
+    s = a2 @ dn                                       # [2]
+    deriv_a2 = (dn - a2[:, None] * s[None, :]) / nn
+    cur_a = G.T @ G
+    b_uns = -(G.T @ deriv_a2)
+    cur_b = 0.5 * (b_uns + b_uns.T)
+    eps = ea @ (0.5 * (cur_a - ref_a)) @ ea.T
+    kap = ea @ (cur_b - ref_b) @ ea.T
+    lam_ps = E_mod * nu / (1.0 - nu ** 2)
+    mu = E_mod / (2.0 * (1.0 + nu))
+    I2 = jnp.eye(2, dtype=dt)
+    I3 = jnp.eye(3, dtype=dt)
+    Nm = h_th * (lam_ps * jnp.trace(eps) * I2 + 2.0 * mu * eps)
+    Mm = h_th ** 3 / 12.0 * (lam_ps * jnp.trace(kap) * I2 + 2.0 * mu * kap)
+    Nb = ea.T @ Nm @ ea
+    Mb = ea.T @ Mm @ ea
+    C1 = ea.T @ ea
+
+    E3 = _eps3(dt)
+    cxm = lambda x: jnp.einsum("ijk,j->ik", E3, x)    # C(x) q = x cross q
+    Ca0, Ca1 = cxm(a0), cxm(a1)
+
+    def flat18(Ag, Ah):
+        """[3, 3, 2] g-coefficients + [3, 3, 2, 2] h-coefficients -> the
+        [3, 18] coefficient matrix over the flattened non-val slots."""
+        return jnp.concatenate([Ag.reshape(3, 6), Ah.reshape(3, 12)], -1)
+
+    zero_h = jnp.zeros((3, 3, 2, 2), dtype=dt)
+    # first-variation coefficient matrices over z -----------------------------
+    # delta n = -C(a1) v_g[:,0] + C(a0) v_g[:,1]
+    Dn = flat18(jnp.stack([-Ca1, Ca0], axis=2), zero_h)          # [3, 18]
+    Dnn = a2 @ Dn                                                # [18]
+    Da2 = (Dn - a2[:, None] * Dnn[None, :]) / nn                 # [3, 18]
+    # delta dn_c = -C(a1) v_h[:,0,c] + C(H[:,0,c]) v_g[:,1]
+    #              - C(H[:,1,c]) v_g[:,0] + C(a0) v_h[:,1,c]
+    Ddn = []
+    for c in range(2):
+        Ag = jnp.stack([-cxm(H[:, 1, c]), cxm(H[:, 0, c])], axis=2)
+        Ah = zero_h.at[:, :, 0, c].set(-Ca1).at[:, :, 1, c].set(Ca0)
+        Ddn.append(flat18(Ag, Ah))
+    Ddn = jnp.stack(Ddn)                                         # [2, 3, 18]
+    Ds = (jnp.einsum("ic,iX->cX", dn, Da2)
+          + jnp.einsum("i,ciX->cX", a2, Ddn))                    # [2, 18]
+    Dderiv = ((Ddn - jnp.einsum("iX,c->ciX", Da2, s)
+               - jnp.einsum("i,cX->ciX", a2, Ds)) / nn
+              - jnp.einsum("ic,X->ciX", deriv_a2, Dnn) / nn)     # [2, 3, 18]
+
+    # strain-variation coefficient matrices ----------------------------------
+    pad22 = jnp.zeros((2, 2, 12), dtype=dt)
+    # Ev = 0.5 (Vg^T G + G^T Vg)
+    Pm_g = 0.5 * (jnp.einsum("ce,id->cdie", I2, G)
+                  + jnp.einsum("de,ic->cdie", I2, G))
+    P_m = jnp.concatenate([Pm_g.reshape(2, 2, 6), pad22], -1)    # [2, 2, 18]
+    # Bv = d(cur_b)(v) = -sym(Vg^T deriv_a2 + G^T delta(deriv_a2))
+    T1 = jnp.concatenate(
+        [jnp.einsum("ce,id->cdie", I2, deriv_a2).reshape(2, 2, 6), pad22],
+        -1)
+    T2 = jnp.einsum("ic,diX->cdX", G, Dderiv)
+    P_b = -0.5 * (T1 + T1.transpose(1, 0, 2)
+                  + T2 + T2.transpose(1, 0, 2))                  # [2, 2, 18]
+
+    # ---- rank-1 row stack: K_dense = L^T R --------------------------------
+    # Every full-[18,18] term is a sum of outer products l (x) r of
+    # [18]-row pairs; stacking ALL of them into two [m, 18] factors turns
+    # the whole accumulation into ONE batched MXU matmul instead of a
+    # dozen HBM round trips over [npts, 18, 18] (the first implementation
+    # did the latter and measured 2.3x SLOWER than the jacfwd build).
+    S = -(G @ Mb)                                     # u_c = S[:, c]
+    mu_c = a2 @ S                                     # [2]
+    wt = (S - a2[:, None] * mu_c[None, :]) / nn       # [3, 2] w-tilde
+    yv = (S @ s + dn @ mu_c) / nn                     # [3]
+    ya2 = jnp.dot(yv, a2)
+    yDa2 = (yv @ Da2) / nn                            # [18]
+    rho_b = jnp.sum(S * deriv_a2) / nn
+    ru = jnp.einsum("ic,iX->cX", S, Da2) / nn         # [2, 18]
+    uDd = jnp.einsum("ic,ciX->X", S, Dderiv) / nn     # [18]
+    # geometric bending part 1: -Mb:(Vg^T dderiv(w)) + transpose, as rows
+    # over the 6 constant g-slot selectors
+    Tg = -jnp.einsum("cd,diX->icX", Mb, Dderiv).reshape(6, 18)
+    E6 = jnp.concatenate([jnp.eye(6, dtype=dt),
+                          jnp.zeros((6, 12), dtype=dt)], -1)
+
+    def material_rows(P, coef):
+        P4 = P.reshape(4, 18)
+        tm = jnp.einsum("cd,cdX->X", C1, P)
+        PC = jnp.einsum("ca,abX,bd->cdX", C1, P, C1).reshape(4, 18)
+        return ([coef * lam_ps * tm[None, :], 2.0 * coef * mu * PC],
+                [tm[None, :], P4])
+
+    Lm, Rm = material_rows(P_m, h_th)
+    Lb, Rb = material_rows(P_b, h_th ** 3 / 12.0)
+    DaS = Da2 * (ya2 / nn - rho_b)                    # atom B+F: Dn^T Da2
+    muDdn = jnp.einsum("c,ciX->ciX", mu_c / nn, Ddn).reshape(6, 18)
+    L = jnp.concatenate(
+        Lm + Lb + [Dn, Dnn[None, :], yDa2[None, :],
+                   -ru, -Ds, -Da2,
+                   -uDd[None, :], -Dnn[None, :], E6, Tg])
+    R = jnp.concatenate(
+        Rm + Rb + [DaS, yDa2[None, :], Dnn[None, :],
+                   Ds, ru, muDdn[:3],
+                   Dnn[None, :], uDd[None, :], Tg, E6])
+    K = L.T @ R
+
+    # atom D needs Da2(v).Ddn_c(w) for c=0,1 and the transpose: 12 rows
+    # (2c x 3i x 2 orientations); fold as two extra stacked factors
+    LD = jnp.concatenate([-jnp.broadcast_to(Da2[None], (2, 3, 18))
+                          .reshape(6, 18), -muDdn])
+    RD = jnp.concatenate([muDdn, jnp.broadcast_to(Da2[None], (2, 3, 18))
+                          .reshape(6, 18)])
+    K = K + LD.T @ RD
+
+    # ---- structured small blocks (no [18,18] intermediates) ---------------
+    Cw = jnp.einsum("ijk,jc->cik", E3, wt)            # [2, 3, 3] C(wt_c)
+    # n2-rule vector (atoms B and F): z . (v0 x w1 + w0 x v1)
+    zt = -(yv - ya2 * a2) / nn - rho_b * a2
+    Cz = cxm(zt)
+    z33 = jnp.zeros((3, 3), dtype=dt)
+    # geometric membrane Nb delta_ij + n2-rule, interleaved over (c, d)
+    Kgg = jnp.concatenate([
+        jnp.concatenate([Nb[0, 0] * I3, Nb[0, 1] * I3 - Cz], 1),
+        jnp.concatenate([Nb[1, 0] * I3 - Cz.T, Nb[1, 1] * I3], 1)],
+        0).reshape(2, 3, 2, 3).transpose(1, 0, 3, 2).reshape(6, 6)
+    # atom A cross-product blocks: [3,2,3,2,2] g-h and h-g layouts
+    Cw0, Cw1 = Cw[0], Cw[1]
+    # Kgh[j, e, k, a, c]: nonzero at (e=0, a=1, c) -> -Cw_c and
+    # (e=1, a=0, c) -> -Cw_c^T
+    Kgh = jnp.stack([
+        jnp.stack([jnp.stack([z33, z33], -1),            # e=0, a=0
+                   jnp.stack([-Cw0, -Cw1], -1)], 2),     # e=0, a=1
+        jnp.stack([jnp.stack([-Cw0.T, -Cw1.T], -1),      # e=1, a=0
+                   jnp.stack([z33, z33], -1)], 2)], 1)
+    Kgh = Kgh.reshape(3, 2, 3, 2, 2).reshape(6, 12)
+    top = jnp.concatenate([Kgg, Kgh], -1)                      # [6, 18]
+    bot = jnp.concatenate([Kgh.T, jnp.zeros((12, 12), dtype=dt)], -1)
+    K = K + jnp.concatenate([top, bot], 0)
+    return jnp.pad(K, ((3, 0), (3, 0)))
+
+
 def svk_psi_surface(ctx, y, E_mod, nu, h_th):
     """St. Venant-Kirchhoff Kirchhoff-Love shell energy per unit reference
     midsurface area, integrated analytically through the thickness

@@ -400,6 +400,57 @@ class DomainAssembler:
         xs = self._elem_xs(self._gather_local(U))
         return self._map_elements(elem, xs)
 
+    def element_matrices_hessian(self, hessian_density, U, params=None):
+        """[nel, nloc, nloc] element tangent matrices from a CLOSED-FORM
+        pointwise jet-Hessian density: ``hessian_density(ctx, u[, params])``
+        returns K [J, J] with J the flattened-jet dimension (Jet ravel
+        order), such that for any test/trial jets v, w
+
+            d2(density)(u; v, w) == ravel(v) @ K @ ravel(w).
+
+        Identical contraction structure to ``element_matrices_adjoint``
+        (E = sum_q w_q B^T K B) but with the jacfwd sweep over the J jet
+        directions replaced by ONE evaluation of the hand-derived Hessian
+        -- the fast TPU build path for densities with a known second
+        variation (models/shell.svk_shell_hessian cuts the dominant
+        tangent-stencil build term of the production Newton step)."""
+        from jax.flatten_util import ravel_pytree
+
+        dtype = self.scale.dtype
+        is_dict = isinstance(U, dict)
+
+        def elem(args):
+            Ue_e, ctx_e, scale_e, Ns_e, dNs_e, d2Ns_e, masks_e = args
+            uloc = Ue_e["u"] if is_dict else Ue_e
+            uj = self._local_jets(uloc, Ns_e, dNs_e, d2Ns_e, masks_e)
+            u0 = jax.tree_util.tree_map(lambda x: x[0], uj)
+            _, unravel = ravel_pytree(u0)
+
+            def flat_jets(ul):
+                jets = self._local_jets(ul, Ns_e, dNs_e, d2Ns_e, masks_e)
+                return jax.vmap(lambda *ls: ravel_pytree(
+                    jax.tree_util.tree_unflatten(
+                        jax.tree_util.tree_structure(u0), ls))[0])(
+                    *jax.tree_util.tree_leaves(jets))
+
+            B = jax.jacfwd(flat_jets)(jnp.zeros(self.nloc, dtype=dtype))
+            aux = {k: self._local_jets(v, Ns_e, dNs_e, d2Ns_e, masks_e)
+                   for k, v in Ue_e.items() if k != "u"} if is_dict else {}
+
+            def point_K(u_flat, ctx_q, aux_q):
+                u = unravel(u_flat)
+                uu = {"u": u, **aux_q} if is_dict else u
+                if params is None:
+                    return hessian_density(ctx_q, uu)
+                return hessian_density(ctx_q, uu, params)
+
+            K = jax.vmap(point_K)(flat_jets(uloc), ctx_e, aux)
+            KB = jnp.einsum("qJK,qKb->qJb", K, B)
+            return jnp.einsum("qJa,qJb,q->ab", B, KB, scale_e)
+
+        xs = self._elem_xs(self._gather_local(U))
+        return self._map_elements(elem, xs)
+
     # -- per-element explicit matrices ------------------------------------------
 
     def _split_local(self, uloc):

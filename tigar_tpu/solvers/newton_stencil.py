@@ -265,7 +265,7 @@ class StencilNewton:
                  build_chunk64=1024, setup_log=None, coarse_cache=None,
                  polish_cg_iters=30, polish_tangent="f64",
                  build_quad_degree=None, rebuild_rel=1e-5,
-                 _precomputed=None):
+                 hessian=None, _precomputed=None):
         """``coarse_cache``: optional .npz path caching the (zero-state,
         state-independent) coarse stencils + dense inverse across
         processes.  The caller owns the key (include discretization and
@@ -331,11 +331,21 @@ class StencilNewton:
         adjoint = self.adjoint
         basis = self.basis
         nf = self.nf
+        # Optional CLOSED-FORM pointwise jet-Hessian density (e.g.
+        # models/shell.svk_shell_hessian): replaces the J-direction jacfwd
+        # sweep through the adjoint inside every tangent-stencil build
+        # (fine f32, fine f64 polish, coarse ladder) with one evaluation.
+        self.hessian = hessian
+
+        def _elem_mats(asm_, U):
+            if hessian is not None:
+                return asm_.element_matrices_hessian(hessian, U)
+            return asm_.element_matrices_adjoint(adjoint, U)
 
         @jax.jit
         def build_fine(asm_, U):
-            Em = asm_.element_matrices_adjoint(adjoint, U)
-            return stencil_from_element_matrices(basis, Em, nf=nf)
+            return stencil_from_element_matrices(basis, _elem_mats(asm_, U),
+                                                 nf=nf)
 
         self._build = build_fine   # f32 and f64 traces via arg dtypes
 
@@ -442,14 +452,14 @@ class StencilNewton:
                     lambda x: jax.device_put(x, cpu), asm_c)
                 U0c = jax.device_put(
                     jnp.zeros(spl.ndof, dtype=jnp.float32), cpu)
-                Em = asm_c.element_matrices_adjoint(adjoint, U0c)
+                Em = _elem_mats(asm_c, U0c)
                 st = stencil_from_element_matrices(b_c, Em, nf=nf)
                 st = st.tree_unflatten(st.tree_flatten()[1],
                                        (jax.device_put(np.asarray(st.S)),))
             else:
                 build_c = jax.jit(
                     lambda a, U, b=b_c: stencil_from_element_matrices(
-                        b, a.element_matrices_adjoint(adjoint, U), nf=nf))
+                        b, _elem_mats(a, U), nf=nf))
                 st = build_c(asm_c,
                              jnp.zeros(spl.ndof, dtype=jnp.float32))
             if setup_log:
@@ -572,6 +582,7 @@ class StencilNewton:
         kwargs.setdefault("polish_tangent", self.polish_tangent)
         kwargs.setdefault("build_quad_degree", self._build_quad_degree)
         kwargs.setdefault("rebuild_rel", self.rebuild_rel)
+        kwargs.setdefault("hessian", self.hessian)
         return StencilNewton(
             self.mg_splines[0], self.adjoint,
             mg_splines=self.mg_splines[1:],
