@@ -162,11 +162,19 @@ def main():
     #     of the cast noise collapses Newton contraction to 0.65/step.
     # Measured full solves (floor-certified): 128^2 42.2s/18 steps,
     # 256^2 116.9s/17 steps (vs 549.7s round-3 defaults-of-record).
+    #   polish_residual_device="cpu": polish-phase f64 residuals in NATIVE
+    #     IEEE f64 on the host CPU backend (measured 248 vs 805 ms/eval at
+    #     128^2 -- the TPU's emulated f64 loses 3.2x to one host core on
+    #     the pointwise-AD-heavy density); the floor certificate below
+    #     cross-checks against the TPU-emulated evaluation, keeping two
+    #     independent f64 implementations in the certificate.
     polish_tangent = "cast" if nel <= 128 else "f64"
+    polish_res_dev = os.environ.get("BENCH_POLISH_RES_DEV", "cpu")
     ns = StencilNewton(spline, res_adj, mg_splines=mg_splines,
                        cg_iters=cg_iters, setup_log=log,
                        coarse_cache=ccache,
                        polish_tangent=polish_tangent,
+                       polish_residual_device=polish_res_dev,
                        build_quad_degree=2, rebuild_rel=0.1)
     log(f"solver setup (coarse stencils on "
         f"{os.environ.get('TIGAR_COARSE_BACKEND', 'device')}): "
@@ -259,10 +267,17 @@ def main():
     t_solve = time.time() - t0
     r0_64 = float(jnp.linalg.norm(ns._res(ns.asm64, ns.mask64,
                                           jnp.zeros_like(Usol))))
-    cpu_rel = ns.cpu_true_residual(Usol) / r0_64
+    # the cross-check evaluation must come from the OTHER f64
+    # implementation than the one the solve's own residuals used: host
+    # CPU native IEEE f64 vs TPU emulated f64
+    if polish_res_dev == "cpu":
+        cpu_rel = ns.true_rel_residual(Usol, r0_64)   # TPU-emulated
+    else:
+        cpu_rel = ns.cpu_true_residual(Usol) / r0_64  # CPU native
     log(f"full solve: {t_solve:.2f}s, {nsteps} steps, "
         f"final f64 rel |r| = {rel64:.3e}, |dU|/|U| = {dU_rel:.2e}, "
-        f"CPU true-f64 rel = {cpu_rel:.3e}")
+        f"cross-backend true-f64 rel = {cpu_rel:.3e} "
+        f"(polish residuals on {polish_res_dev})")
     # the floor certificate needs BOTH signatures: TPU and true-IEEE CPU
     # evaluations agreeing (at a non-floor state they agree trivially) AND
     # a collapsed Newton increment (only true at the roundoff floor)
@@ -292,7 +307,8 @@ def main():
             "full_solve_nested": use_nested,
             "f64_rel_residual": rel64,
             "f64_dU_rel": dU_rel,
-            "cpu_true_f64_rel_residual": cpu_rel,
+            "cross_backend_true_f64_rel_residual": cpu_rel,
+            "polish_residual_device": polish_res_dev,
             "f64_floor_certified": floor_certified,
             "f64_accurate": f64_ok,
             "load_q": q,

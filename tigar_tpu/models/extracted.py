@@ -38,7 +38,7 @@ import jax.numpy as jnp
 from ..config import (DEFAULT_MAX_ITERS, DEFAULT_RELATIVE_TOLERANCE,
                       real_dtype)
 from ..ops.quadrature import npoints_for_degree
-from ..ops.geometry import precompute_geometry
+from ..ops.geometry import precompute_geometry, precompute_geometry_fused
 from ..ops.assembly import DomainAssembler, apply_bc_matrix
 from ..solvers.linear import solve_dense, solve_krylov, jacobi_preconditioner
 from ..solvers.newton import newton_solve
@@ -224,35 +224,55 @@ class ExtractedSpline:
                     npts, nders, direction, side)
         return self._tab_cache[key]
 
-    def _assembler(self, domain, quad_degree=None) -> DomainAssembler:
+    def _assembler(self, domain, quad_degree=None,
+                   device=None) -> DomainAssembler:
+        """``device``: build (and cache) the assembler's arrays on that
+        jax device instead of the default one.  The tabulations are
+        host-side numpy, so constructing directly under
+        ``jax.default_device(device)`` costs NO accelerator transfers --
+        the fast path for host-CPU f64 residual evaluation
+        (solvers/newton_stencil.polish_residual_device="cpu"; a
+        device_put fetch of the default-device assembler measured 13.5 s
+        through the remote tunnel at 128^2 shells)."""
         npts = self.npts if quad_degree is None else \
             npoints_for_degree(quad_degree)
-        akey = (domain, npts)
+        akey = (domain, npts, None if device is None else str(device))
         if akey not in self._assemblers:
-            ctrl_tab = self._field_tab(self.control_basis, domain,
-                                       nders=self.geom_nders, npts=npts)
-            geom = precompute_geometry(ctrl_tab, self.bnet)
-            qw = jnp.asarray(ctrl_tab.qw, dtype=self.dtype)
-            jac = geom.sqrtJ if domain == "dx" else geom.surfJ
-            scale = qw * jac
-            tabs = [self._field_tab(f, domain, npts=npts)
-                    for f in self.space.fields]
-            nel = scale.shape[0]
-            chunk = self.assembly_chunk
-            if chunk is None:
-                from ..config import DEFAULT_ASSEMBLY_CHUNK
-                chunk = (DEFAULT_ASSEMBLY_CHUNK
-                         if DEFAULT_ASSEMBLY_CHUNK
-                         and nel > DEFAULT_ASSEMBLY_CHUNK else None)
-            elif not chunk:
-                chunk = None
-            asm = DomainAssembler(
-                tabs, self.space.offsets, self.ndof, geom, scale,
-                chunk=chunk)
-            for hook in self._ctx_hooks:
-                hook(domain, asm)
-            self._assemblers[akey] = asm
+            if device is not None:
+                with jax.default_device(device):
+                    self._assemblers[akey] = self._build_assembler(
+                        domain, npts, fused_geometry=True)
+            else:
+                self._assemblers[akey] = self._build_assembler(domain,
+                                                               npts)
         return self._assemblers[akey]
+
+    def _build_assembler(self, domain, npts,
+                         fused_geometry=False) -> DomainAssembler:
+        ctrl_tab = self._field_tab(self.control_basis, domain,
+                                   nders=self.geom_nders, npts=npts)
+        geom = (precompute_geometry_fused if fused_geometry
+                else precompute_geometry)(ctrl_tab, self.bnet)
+        qw = jnp.asarray(ctrl_tab.qw, dtype=self.dtype)
+        jac = geom.sqrtJ if domain == "dx" else geom.surfJ
+        scale = qw * jac
+        tabs = [self._field_tab(f, domain, npts=npts)
+                for f in self.space.fields]
+        nel = scale.shape[0]
+        chunk = self.assembly_chunk
+        if chunk is None:
+            from ..config import DEFAULT_ASSEMBLY_CHUNK
+            chunk = (DEFAULT_ASSEMBLY_CHUNK
+                     if DEFAULT_ASSEMBLY_CHUNK
+                     and nel > DEFAULT_ASSEMBLY_CHUNK else None)
+        elif not chunk:
+            chunk = None
+        asm = DomainAssembler(
+            tabs, self.space.offsets, self.ndof, geom, scale,
+            chunk=chunk)
+        for hook in self._ctx_hooks:
+            hook(domain, asm)
+        return asm
 
     def _terms(self, form):
         """Normalize a form into [(domain, FormTerm)].  A bare callable

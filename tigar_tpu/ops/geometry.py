@@ -121,3 +121,27 @@ def precompute_geometry(ctrl_tab, bnet):
 
     fn = _geom_batched(hh is not None, nref is not None)
     return fn(xi, val, gg, hh, nref)
+
+
+def precompute_geometry_fused(ctrl_tab, bnet):
+    """precompute_geometry as ONE jitted program with the tabulation
+    arrays passed as arguments (not closed-over constants).  Use for
+    host-CPU assembler builds: the eager op-by-op evaluation costs ~0.4 s
+    of XLA:CPU compile latency PER PRIMITIVE on this machine (measured
+    80 s total at 128^2 shells), while the fused program compiles once
+    (and persists, being above the cache's min-compile-time threshold).
+    The default-device (accelerator) build keeps the eager path so its
+    downstream jit cache keys (uncommitted leaves) stay unchanged."""
+    import dataclasses
+
+    arrs = {k: getattr(ctrl_tab, k)
+            for k in ("conn", "N", "dN", "d2N", "qp", "qw", "normal",
+                      "mask")
+            if getattr(ctrl_tab, k) is not None}
+
+    @jax.jit
+    def go(arrs, bnet):
+        tab = dataclasses.replace(ctrl_tab, **arrs)
+        return precompute_geometry(tab, bnet)
+
+    return go(arrs, bnet)

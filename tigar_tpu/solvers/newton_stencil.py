@@ -265,7 +265,8 @@ class StencilNewton:
                  build_chunk64=1024, setup_log=None, coarse_cache=None,
                  polish_cg_iters=30, polish_tangent="f64",
                  build_quad_degree=None, rebuild_rel=1e-5,
-                 hessian=None, _precomputed=None):
+                 hessian=None, polish_residual_device="accel",
+                 _precomputed=None):
         """``coarse_cache``: optional .npz path caching the (zero-state,
         state-independent) coarse stencils + dense inverse across
         processes.  The caller owns the key (include discretization and
@@ -326,6 +327,25 @@ class StencilNewton:
         # rebuilding past the nonlinear transient buys nothing --
         # set rebuild_rel ~ 1e-1 there.
         self.rebuild_rel = float(rebuild_rel)
+        # "cpu": evaluate the polish phase's f64 residuals on the host CPU
+        # backend in NATIVE IEEE f64 instead of the accelerator's emulated
+        # f64 (measured round 3 at 128^2 shells: 248 vs 805 ms/eval -- the
+        # pointwise-density emulation is ~3.2x slower than one host core;
+        # the DoF-vector transfers are ~ms).  The f32 production phase and
+        # the mixed CG stay on the accelerator.  When the polish residual
+        # comes from the CPU, certify the evaluation floor against the
+        # ACCELERATOR evaluation (true_rel_residual) -- the two backends
+        # remain independent f64 implementations either way.
+        self.polish_residual_device = str(polish_residual_device)
+        self._res_cpu = None
+        if self.polish_residual_device == "cpu":
+            # host-side assembler build + jit warm-up belongs to setup,
+            # not to the first polish step of the timed solve
+            _t0 = _time.time()
+            self._cpu_res()
+            if setup_log:
+                setup_log(f"  host-CPU f64 residual assembler built "
+                          f"({_time.time() - _t0:.1f}s)")
         self._P0_f64 = None
 
         adjoint = self.adjoint
@@ -384,7 +404,6 @@ class StencilNewton:
             (self._coarse_sts, self._coarse_dinvs, self._coarse_masks,
              self._coarse_inv) = _precomputed
             self._st64 = None
-            self._res_cpu = None
             return
 
         # Coarse stencils: built once at the zero state.  Default is the
@@ -503,7 +522,6 @@ class StencilNewton:
         self._coarse_masks = tuple(masks)
         self._coarse_inv = dense_inv
         self._st64 = None   # frozen f64 stencil for the polish phase
-        self._res_cpu = None
 
     # -- inner solve ---------------------------------------------------------
 
@@ -583,6 +601,8 @@ class StencilNewton:
         kwargs.setdefault("build_quad_degree", self._build_quad_degree)
         kwargs.setdefault("rebuild_rel", self.rebuild_rel)
         kwargs.setdefault("hessian", self.hessian)
+        kwargs.setdefault("polish_residual_device",
+                          self.polish_residual_device)
         return StencilNewton(
             self.mg_splines[0], self.adjoint,
             mg_splines=self.mg_splines[1:],
@@ -706,7 +726,7 @@ class StencilNewton:
         to 0.65/step, 1e-10 never reached) -- hence the instance default
         is "f64" and callers opt into "cast" at small kappa (bench.py
         does at 128^2)."""
-        r64 = self._res(self.asm64, self.mask64, U)
+        r64 = self._res64(U)
         if self._st64 is None or rebuild:
             U32 = U.astype(jnp.float32)
             self._st32_frozen = self._build(self.asm_b32, U32)
@@ -727,9 +747,26 @@ class StencilNewton:
         included -- can verify a smaller residual there; matching the CPU
         floor certifies the mixed-precision solve is f64-exact."""
         cpu = jax.devices("cpu")[0]
+        rc, asm_cpu, mask_cpu = self._cpu_res()
+        return float(jnp.linalg.norm(
+            rc(asm_cpu, mask_cpu, jax.device_put(U, cpu))))
+
+    def _cpu_res(self):
+        """Lazy (jitted fn, assembler, mask) triple for host-CPU native
+        IEEE-f64 residual evaluation; shared by cpu_true_residual and the
+        polish_residual_device='cpu' fast path.  The assembler is BUILT
+        on the CPU backend from the spline's host-side tabulations
+        (_assembler(device=cpu)) -- a device_put fetch of the
+        default-device assembler costs 13.5 s through the remote tunnel
+        at 128^2 shells (measured), the host-side build milliseconds."""
         if self._res_cpu is None:
+            cpu = jax.devices("cpu")[0]
+            # the host-side build leaves arrays UNCOMMITTED; commit them
+            # to the CPU device (host-to-host, no tunnel traffic) so the
+            # jitted evaluation below is pinned to the CPU backend
             asm_cpu = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, cpu), self.asm64)
+                lambda x: jax.device_put(x, cpu),
+                self.spline._assembler("dx", device=cpu))
             mask_cpu = jax.device_put(self.mask64, cpu)
             adjoint = self.adjoint
 
@@ -738,9 +775,26 @@ class StencilNewton:
                 return m * a.residual_vector_adjoint(adjoint, u)
 
             self._res_cpu = (rc, asm_cpu, mask_cpu)
-        rc, asm_cpu, mask_cpu = self._res_cpu
-        return float(jnp.linalg.norm(
-            rc(asm_cpu, mask_cpu, jax.device_put(U, cpu))))
+        return self._res_cpu
+
+    def _res64(self, U):
+        """Polish-phase f64 residual at U, on the accelerator (dispatches
+        to the host CPU backend when polish_residual_device='cpu' --
+        native f64 is ~3.2x faster than the accelerator's emulated f64 on
+        the pointwise-AD-heavy shell density; measured in the __init__
+        docstring note).  The round trip goes through host numpy so both
+        the CPU input and the returned accelerator array are UNCOMMITTED:
+        downstream jitted programs (the mixed CG) then reuse the exact
+        compiled artifacts of the accelerator path instead of compiling
+        committed-sharding variants that miss the persistent cache in
+        every fresh process (measured: 8 s/process at 128^2)."""
+        if self.polish_residual_device != "cpu":
+            return self._res(self.asm64, self.mask64, U)
+        cpu = jax.devices("cpu")[0]
+        rc, asm_cpu, mask_cpu = self._cpu_res()
+        u_cpu = jax.device_put(np.asarray(U), cpu)
+        r = rc(asm_cpu, mask_cpu, u_cpu)
+        return jnp.asarray(np.asarray(r))
 
     def true_rel_residual(self, U, r0=None):
         """f64 residual norm at U (absolute, or relative to ``r0``) --
