@@ -339,8 +339,13 @@ class StencilNewton:
         self.polish_residual_device = str(polish_residual_device)
         self._res_cpu = None
         if self.polish_residual_device == "cpu":
-            # host-side assembler build + jit warm-up belongs to setup,
-            # not to the first polish step of the timed solve
+            # host-side assembler build + fused-geometry compile belongs
+            # to setup, not to the first polish step of the timed solve.
+            # MEASURED: do NOT move this to a background thread to
+            # "overlap" with the tunnel-bound coarse setup -- this box has
+            # ONE core, the main thread's client-side tracing is
+            # CPU-bound too, and the threaded variant thrashed setup from
+            # 45 to 175 s.
             _t0 = _time.time()
             self._cpu_res()
             if setup_log:
@@ -754,28 +759,33 @@ class StencilNewton:
     def _cpu_res(self):
         """Lazy (jitted fn, assembler, mask) triple for host-CPU native
         IEEE-f64 residual evaluation; shared by cpu_true_residual and the
-        polish_residual_device='cpu' fast path.  The assembler is BUILT
+        polish_residual_device='cpu' fast path."""
+        if self._res_cpu is None:
+            self._cpu_res_build()
+        return self._res_cpu
+
+    def _cpu_res_build(self):
+        """Build the host-CPU residual triple.  The assembler is BUILT
         on the CPU backend from the spline's host-side tabulations
         (_assembler(device=cpu)) -- a device_put fetch of the
         default-device assembler costs 13.5 s through the remote tunnel
-        at 128^2 shells (measured), the host-side build milliseconds."""
-        if self._res_cpu is None:
-            cpu = jax.devices("cpu")[0]
-            # the host-side build leaves arrays UNCOMMITTED; commit them
-            # to the CPU device (host-to-host, no tunnel traffic) so the
-            # jitted evaluation below is pinned to the CPU backend
-            asm_cpu = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, cpu),
-                self.spline._assembler("dx", device=cpu))
-            mask_cpu = jax.device_put(self.mask64, cpu)
-            adjoint = self.adjoint
+        at 128^2 shells (measured), the host-side build is one fused
+        XLA:CPU compile."""
+        cpu = jax.devices("cpu")[0]
+        # the host-side build leaves arrays UNCOMMITTED; commit them
+        # to the CPU device (host-to-host, no tunnel traffic) so the
+        # jitted evaluation below is pinned to the CPU backend
+        asm_cpu = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, cpu),
+            self.spline._assembler("dx", device=cpu))
+        mask_cpu = jax.device_put(self.mask64, cpu)
+        adjoint = self.adjoint
 
-            @jax.jit
-            def rc(a, m, u):
-                return m * a.residual_vector_adjoint(adjoint, u)
+        @jax.jit
+        def rc(a, m, u):
+            return m * a.residual_vector_adjoint(adjoint, u)
 
-            self._res_cpu = (rc, asm_cpu, mask_cpu)
-        return self._res_cpu
+        self._res_cpu = (rc, asm_cpu, mask_cpu)
 
     def _res64(self, U):
         """Polish-phase f64 residual at U, on the accelerator (dispatches
