@@ -136,3 +136,70 @@ def test_subspace_general_consistent_mass():
     BX = jnp.stack([B_act(X[:, j]) for j in range(3)], axis=1)
     G = np.asarray(X.T @ BX)
     assert np.max(np.abs(G - np.eye(3))) < 1e-8, G
+
+
+def test_arnoldi_nonsymmetric_convection_diffusion():
+    """Nonsymmetric pencil (convection tangent): shift-invert Arnoldi
+    eigenvalues of a(u,v) = grad u . grad v + (beta . grad u) v against
+    the dense generalized spectrum (exact for the discrete problem) and
+    the analytic continuum values lam_ij = (i^2+j^2) pi^2 + |beta|^2/4
+    (similarity-transformed convection-diffusion).  Covers the SLEPc
+    problem-type generality the symmetric solvers don't (reference
+    modal-analysis.py:74-76 via SLEPc's generic EPS)."""
+    import jax.numpy as jnp
+    from tigar_tpu.solvers.eigen import arnoldi_eigs, shift_invert_eigs
+
+    p, nel, beta = 2, 12, 6.0
+    cm = ExplicitBSplineControlMesh(
+        [p, p], [uniform_knots(p, 0.0, 1.0, nel)] * 2)
+    sp = EqualOrderSpline(1, cm)
+    basis = sp.get_scalar_spline()
+    for d in (0, 1):
+        for s in (0, 1):
+            sp.add_zero_dofs(0, basis.side_dofs(d, s))
+    spline = ExtractedSpline(sp, quad_degree=2 * p)
+
+    def a(ctx, u, v):
+        return (jnp.sum(ctx.grad(u) * ctx.grad(v))
+                + beta * ctx.grad(u)[0] * v.val)
+
+    def b(ctx, u, v):
+        return u.val * v.val
+
+    A = np.asarray(spline.assemble_matrix(a, diag=1e8))
+    B = np.asarray(spline.assemble_matrix(b, diag=1.0))
+    assert np.max(np.abs(A - A.T)) > 1e-2   # genuinely nonsymmetric
+
+    # dense reference spectrum of the pencil (B is SPD)
+    ref = np.linalg.eigvals(np.linalg.solve(B, A))
+    ref = np.sort_complex(ref[np.abs(ref) < 1e7])  # drop BC-shifted modes
+
+    lu_piv = np.linalg.inv(A)   # small test problem: explicit inverse
+
+    def solve_shifted(r):
+        return jnp.asarray(lu_piv @ np.asarray(r))
+
+    def B_action(x):
+        return jnp.asarray(B @ np.asarray(x))
+
+    lam, X, res = shift_invert_eigs(solve_shifted, 4, spline.ndof,
+                                    sigma=0.0, B_action=B_action,
+                                    n_krylov=30, tol=1e-9)
+    order = np.argsort(lam.real)
+    lam = lam[order]
+    assert np.all(res < 1e-8), res
+    assert np.allclose(lam, ref[:4], rtol=1e-8), (lam, ref[:6])
+    # continuum physics: lam_ij ~ (i^2+j^2) pi^2 + beta^2/4
+    analytic = np.sort(np.asarray(
+        [2.0, 5.0, 5.0, 8.0]) * np.pi ** 2 + beta ** 2 / 4.0)
+    assert np.all(np.abs(lam.real - analytic) / analytic < 0.02), lam
+
+    # plain (non-shifted) Arnoldi: largest-magnitude modes are the
+    # BC-shifted cluster at 1e8 -- checks the LM path + residuals
+    def A_action(x):
+        return jnp.asarray(A @ np.asarray(x))
+
+    lam_lm, _, res_lm = arnoldi_eigs(A_action, 2, spline.ndof,
+                                     n_krylov=25, tol=1e-9)
+    assert np.all(np.abs(lam_lm - 1e8) < 1e-2), lam_lm
+    assert np.all(res_lm < 1e-8), res_lm
