@@ -580,3 +580,25 @@ def test_mg_f32_vcycle_inside_f64_cg():
         _a, jnp.zeros(spline.ndof, dtype=spline.dtype), b)
     err2 = float(jnp.max(jnp.abs(x_opt - x_direct)))
     assert err2 < 1e-8 * float(jnp.max(jnp.abs(x_direct)))
+
+
+def test_bicgstab_device_iters_nonsymmetric():
+    """The python-level BiCGStab (async dispatch, host-checked exit --
+    the accelerator-backend Krylov path of _solve_linearized, where
+    jax.scipy's while_loop solver is tunnel-catastrophic) must solve a
+    genuinely nonsymmetric system to the requested tolerance and honor
+    the early exit."""
+    from tigar_tpu.solvers.linear import (bicgstab_device_iters,
+                                          jacobi_preconditioner)
+    rng = np.random.default_rng(1)
+    n = 60
+    A = jnp.asarray(rng.normal(size=(n, n)) + n * np.eye(n))
+    assert float(jnp.max(jnp.abs(A - A.T))) > 1.0
+    x_ref = jnp.asarray(rng.normal(size=n))
+    b = A @ x_ref
+    M = jacobi_preconditioner(jnp.diag(A))
+    x, r = bicgstab_device_iters(lambda w: A @ w, b, 500, M=M,
+                                 tol=1e-12, check_every=5)
+    assert float(jnp.linalg.norm(A @ x - b) / jnp.linalg.norm(b)) < 1e-10
+    # r tracked inside the loop matches the true residual
+    assert np.allclose(np.asarray(r), np.asarray(b - A @ x), atol=1e-9)

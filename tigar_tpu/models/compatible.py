@@ -105,7 +105,7 @@ class IteratedPenaltySolver:
         self.aug_density = aug_density
 
     def solve(self, U, w=None, penalty=DEFAULT_RT_PENALTY, aux=None,
-              params=None, log=False, pipeline=False):
+              params=None, log=False, pipeline=False, floor_factor=100.0):
         """Returns (U, w).  Pass the previous step's ``w`` when time stepping
         (taylor-green-3d.py:135-146).
 
@@ -115,7 +115,25 @@ class IteratedPenaltySolver:
         the long penalty loops of the TG workloads (tens of iterations per
         time step), at the price of one speculative linear solve past
         convergence.  Results are identical (solvers/newton.py has the
-        same option and rationale)."""
+        same option and rationale).
+
+        RESIDUAL EVALUATION FLOOR (``floor_factor``): the multiplier field
+        w grows without bound across the augmented-Lagrangian iterations
+        (w += penalty*U every pass, across ALL time steps of a stepping
+        loop), so the assembled residual carries an ABSOLUTE roundoff
+        floor ~ eps64 * |dw| that GROWS with t, while the convergence
+        check is relative to a step residual that often DECAYS (decaying
+        TG vortex).  Measured on the TG-2D demo (32 steps, rtol 1e-5):
+        the per-step floor crosses rtol at step ~21 on the TPU backend
+        (whose emulated f64 floors ~10x IEEE) and sits at 9.8e-7 by the
+        final step even in IEEE f64 -- one more refinement level fails
+        anywhere.  The same floor-detection rule as
+        solvers.newton_stencil: when the relative residual STAGNATES
+        (3 consecutive non-improving iterations) within
+        ``floor_factor * relative_tolerance``, the state is converged to
+        the evaluation floor and is accepted (logged as such); genuine
+        non-convergence (stagnation far above the floor, or no
+        stagnation by max_iters) still raises NewtonError."""
         spline = self.spline
         if w is None:
             w = jnp.zeros_like(U)
@@ -129,6 +147,7 @@ class IteratedPenaltySolver:
             return base
 
         initial_norm = None
+        best = {"rel": float("inf"), "Uw": None, "stalls": 0}
 
         def check(it, norm_dev, U_at, w_at):
             nonlocal initial_norm
@@ -139,7 +158,24 @@ class IteratedPenaltySolver:
             if log:
                 print(f"Solver iteration: {it} , Relative norm: {rel}",
                       flush=True)
-            return (U_at, w_at) if rel < spline.relative_tolerance else None
+            if rel < spline.relative_tolerance:
+                return (U_at, w_at)
+            if rel < 0.9 * best["rel"]:
+                best.update(rel=rel, Uw=(U_at, w_at), stalls=0)
+            else:
+                if rel < best["rel"]:
+                    best.update(rel=rel, Uw=(U_at, w_at))
+                best["stalls"] += 1
+                if (best["stalls"] >= 3 and best["rel"]
+                        < floor_factor * spline.relative_tolerance):
+                    if log:
+                        print(f"Converged to the residual evaluation "
+                              f"floor: rel {best['rel']:.3e} stagnant "
+                              f"{best['stalls']} iterations "
+                              f"(tolerance {spline.relative_tolerance})",
+                              flush=True)
+                    return best["Uw"]
+            return None
 
         lhs_state = None
         pending = None

@@ -458,11 +458,33 @@ class ExtractedSpline:
             out = part if out is None else out + part
         return out
 
+    def _assembler_twin(self, asm, device):
+        """The (domain, quadrature)-matching assembler built on another
+        jax device (see _assembler(device=)); identity lookup through the
+        assembler cache."""
+        for (domain, npts, dev), a in list(self._assemblers.items()):
+            if a is asm and dev is None:
+                akey = (domain, npts, str(device))
+                if akey not in self._assemblers:
+                    with jax.default_device(device):
+                        self._assemblers[akey] = self._build_assembler(
+                            domain, npts, fused_geometry=True)
+                return self._assemblers[akey]
+        raise KeyError("assembler has no default-device cache entry")
+
     def assemble_matrix(self, form, U=None, apply_bcs=True, diag=1.0,
-                        params=None):
+                        params=None, device=None):
         """Dense tangent/bilinear matrix (for eigenproblems and direct
         solves; reference: assembleMatrix + zeroRowsColumns,
-        common.py:1176-1220)."""
+        common.py:1176-1220).
+
+        ``device``: run the assembly on that jax device (committed
+        inputs; the assembler arrays come from host-side twins, no
+        accelerator fetch).  Used to route f64 dense-tangent assembly to
+        the host CPU: the batched jacfwd element-matrix program in
+        emulated f64 is the known worker-side-compile class through the
+        remote tunnel, and at TG-3D's 512-element RT space its first
+        execution reproducibly CRASHED the TPU worker (round 3)."""
         if U is None:
             U = jnp.zeros(self.ndof, dtype=self.dtype)
         fkey, terms, pairs = self._form_key(form)
@@ -481,8 +503,16 @@ class ExtractedSpline:
                 return A
             return fn
 
-        return self._jitted(key, terms, builder)(
-            asms, U, self.mask, jnp.asarray(diag, dtype=self.dtype), params)
+        mask = self.mask
+        diag = jnp.asarray(diag, dtype=self.dtype)
+        if device is not None:
+            put = lambda t: jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, device)
+                if hasattr(x, "shape") else x, t)
+            asms = [put(self._assembler_twin(a, device)) for a in asms]
+            U, mask, diag, params = put((U, mask, diag, params))
+        return self._jitted(key, terms, builder)(asms, U, mask, diag,
+                                                 params)
 
     def assemble_sparse(self, form, U=None, apply_bcs=True, diag=1.0,
                         params=None):
@@ -561,6 +591,23 @@ class ExtractedSpline:
         (e.g. unconstrained mass solves in projections)."""
         method = self._linear_method()
         if method == "direct":
+            # f64 direct solves on an accelerator: assemble the dense
+            # tangent on the HOST (native IEEE f64, one fused XLA:CPU
+            # program) and LU there.  The emulated-f64 batched-jacfwd
+            # assembly is the worker-side-compile program class through
+            # the remote tunnel, and its first execution reproducibly
+            # CRASHED the TPU worker on the TG-3D RT space (round 3);
+            # the dense path is for <=dense_threshold systems anyway.
+            if (jnp.issubdtype(self.dtype, jnp.float64)
+                    and jax.default_backend() != "cpu"):
+                cpu = jax.devices("cpu")[0]
+                A = self.assemble_matrix(form, U=U, params=params,
+                                         apply_bcs=apply_bcs, device=cpu)
+                rhs_c = jax.device_put(np.asarray(rhs), cpu)
+                x = solve_dense(A, rhs_c)
+                # back to the default device, UNCOMMITTED (committed
+                # arrays would re-key every downstream jit cache entry)
+                return jnp.asarray(np.asarray(x))
             A = self.assemble_matrix(form, U=U, params=params,
                                      apply_bcs=apply_bcs)
             return solve_dense(A, rhs)
@@ -652,6 +699,26 @@ class ExtractedSpline:
                                 method=method[len("sparse_"):],
                                 tol=self.linear_tol,
                                 maxiter=self.linear_max_iter, M=Mpre)
+
+        if (method in ("cg", "bicgstab")
+                and jax.default_backend() != "cpu"):
+            # Accelerator backends: run the Krylov loop at the PYTHON
+            # level over the jit-cached tangent action (async dispatch,
+            # host-checked early exit) instead of fusing jax.scipy's
+            # data-dependent lax.while_loop solver into one program --
+            # through the remote-compile tunnel that program class is
+            # catastrophically slow and its first execution on the TG-3D
+            # RT space reproducibly CRASHED the TPU worker (round 3).
+            from ..solvers.linear import (cg_device_iters,
+                                          bicgstab_device_iters)
+            action = self.matrix_operator(form, U=U, apply_bcs=apply_bcs,
+                                          params=params)
+            Mpre = jacobi_preconditioner(diag)
+            n = self.linear_max_iter or max(200, min(5000, 2 * self.ndof))
+            loop = (cg_device_iters if method == "cg"
+                    else bicgstab_device_iters)
+            x, _ = loop(action, rhs, n, M=Mpre, tol=self.linear_tol)
+            return x
 
         fkey, terms, pairs = self._form_key(form)
         asms = [a for a, _ in pairs]

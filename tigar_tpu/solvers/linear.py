@@ -69,7 +69,8 @@ def cg_fixed_iters(action, b, n_iters, M=None, x0=None):
     return x, r
 
 
-def cg_device_iters(action, b, n_iters, M=None, x0=None):
+def cg_device_iters(action, b, n_iters, M=None, x0=None, tol=None,
+                    check_every=20):
     """Fixed-iteration preconditioned CG as a PYTHON-level loop with device
     scalars: every operation dispatches asynchronously and nothing syncs
     the host until the caller fetches a value, but no single fused program
@@ -80,7 +81,11 @@ def cg_device_iters(action, b, n_iters, M=None, x0=None):
     contact tangent inside the loop body, through this machine's
     remote-compile tunnel.  Runtime is dispatch-bound but asynchronous;
     each constituent jitted action compiles once, separately.
-    Returns (x, r)."""
+
+    ``tol``: optional relative-residual early exit, checked on the host
+    every ``check_every`` iterations (each check costs one ~30 ms
+    value-fetch round trip through the tunnel -- keep check_every large
+    enough that checks amortize).  Returns (x, r)."""
     if M is None:
         M = lambda r: r
     if x0 is None:
@@ -90,7 +95,8 @@ def cg_device_iters(action, b, n_iters, M=None, x0=None):
     z = M(r)
     p = z
     rz = jnp.vdot(r, z)
-    for _ in range(int(n_iters)):
+    bnorm = float(jnp.linalg.norm(b)) if tol is not None else None
+    for it in range(int(n_iters)):
         Ap = action(p)
         pAp = jnp.vdot(p, Ap)
         alpha = jnp.where(pAp != 0.0, rz / pAp, 0.0)
@@ -101,6 +107,59 @@ def cg_device_iters(action, b, n_iters, M=None, x0=None):
         beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
         p = z + beta * p
         rz = rz_new
+        if (tol is not None and (it + 1) % int(check_every) == 0
+                and float(jnp.linalg.norm(r)) <= tol * bnorm):
+            break
+    return x, r
+
+
+def bicgstab_device_iters(action, b, n_iters, M=None, x0=None, tol=None,
+                          check_every=20):
+    """Preconditioned BiCGStab as a PYTHON-level loop over jitted device
+    actions (the nonsymmetric analog of ``cg_device_iters``), with an
+    optional host-checked relative-residual exit every ``check_every``
+    iterations.
+
+    This is the production Krylov path for NONSYMMETRIC tangents
+    (NS convection) on accelerator backends: jax.scipy's
+    ``bicgstab``/``cg`` lower to a data-dependent ``lax.while_loop``,
+    and through this machine's remote-compile tunnel that program class
+    is catastrophically slow, and its first execution on the TG-3D RT
+    space reproducibly CRASHED the TPU worker (round 3,
+    models/extracted._solve_linearized routes around it).
+    Returns (x, r)."""
+    if M is None:
+        M = lambda r: r
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    one = jnp.ones((), dtype=b.dtype)
+    x = x0
+    r = b - action(x)
+    rhat = r
+    rho = alpha = omega = one
+    v = jnp.zeros_like(b)
+    p = jnp.zeros_like(b)
+    bnorm = float(jnp.linalg.norm(b)) if tol is not None else None
+    for it in range(int(n_iters)):
+        rho_new = jnp.vdot(rhat, r)
+        beta = jnp.where(rho * omega != 0.0,
+                         (rho_new / rho) * (alpha / omega), 0.0)
+        p = r + beta * (p - omega * v)
+        phat = M(p)
+        v = action(phat)
+        denom = jnp.vdot(rhat, v)
+        alpha = jnp.where(denom != 0.0, rho_new / denom, 0.0)
+        s = r - alpha * v
+        shat = M(s)
+        t = action(shat)
+        tt = jnp.vdot(t, t)
+        omega = jnp.where(tt != 0.0, jnp.vdot(t, s) / tt, 0.0)
+        x = x + alpha * phat + omega * shat
+        r = s - omega * t
+        rho = rho_new
+        if (tol is not None and (it + 1) % int(check_every) == 0
+                and float(jnp.linalg.norm(r)) <= tol * bnorm):
+            break
     return x, r
 
 
