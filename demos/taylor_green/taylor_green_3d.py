@@ -27,8 +27,14 @@ for field in range(3):
         gen.add_zero_dofs(field, basis.side_dofs(field, side))
 
 spline = ExtractedSpline(gen, quad_degree=3, nders=1, geom_nders=2)
-# iterative solver for 3D (taylor-green-3d.py:89-91)
-spline.set_solver_options(linear_solver="bicgstab", linear_tol=1e-4,
+# iterative solver for 3D; inner rtol 1e-2 is the REFERENCE's own
+# setting (taylor-green-3d.py:89-91, GMRES+Jacobi rtol 1e-2) -- the
+# outer penalty iteration absorbs inexact solves, and on the jacobi-
+# preconditioned penalty-stiffened system a 1e-4 inner tolerance runs
+# the Krylov loop to its iteration cap every solve (measured ~2x the
+# per-step wall clock on the TPU for identical physics: divergence
+# stays at machine zero either way)
+spline.set_solver_options(linear_solver="bicgstab", linear_tol=1e-2,
                           relative_tolerance=1e-3)
 
 TIME_INTERVAL = 16.0

@@ -702,23 +702,72 @@ class ExtractedSpline:
 
         if (method in ("cg", "bicgstab")
                 and jax.default_backend() != "cpu"):
-            # Accelerator backends: run the Krylov loop at the PYTHON
-            # level over the jit-cached tangent action (async dispatch,
-            # host-checked early exit) instead of fusing jax.scipy's
-            # data-dependent lax.while_loop solver into one program --
-            # through the remote-compile tunnel that program class is
+            # Accelerator backends: BLOCKED Krylov.  jax.scipy's cg /
+            # bicgstab fuse a data-dependent lax.while_loop into one
+            # program -- through the remote-compile tunnel that class is
             # catastrophically slow and its first execution on the TG-3D
-            # RT space reproducibly CRASHED the TPU worker (round 3).
-            from ..solvers.linear import (cg_device_iters,
-                                          bicgstab_device_iters)
-            action = self.matrix_operator(form, U=U, apply_bcs=apply_bcs,
-                                          params=params)
-            Mpre = jacobi_preconditioner(diag)
+            # RT space reproducibly CRASHED the TPU worker (round 3).  A
+            # per-iteration python loop is tunnel-safe but pays ~10
+            # dispatch latencies per iteration (~3 min/solve measured on
+            # TG-3D).  Instead fuse K iterations into ONE fori_loop
+            # program (bounded runtime, compiled once per form) and check
+            # the residual on the host between blocks: one dispatch + one
+            # ~30 ms fetch per K iterations.
+            from ..solvers.linear import KRYLOV_STEPS
+            init_fn, step_fn = KRYLOV_STEPS[method]
+            K = 25
+            fkey, terms, pairs = self._form_key(form)
+            asms = [a for a, _ in pairs]
+            densities = [fn for _, fn in pairs]
+            ukey = (tuple(sorted(U.keys())) if isinstance(U, dict)
+                    else None)
+            base = (fkey, ukey, method, K, bool(apply_bcs),
+                    params is None)
+
+            def make_parts():
+                def action_of(asms_, U_, mask, params_):
+                    Uu = _get_unknown(U_)
+
+                    def action(W):
+                        W_in = mask * W if apply_bcs else W
+                        out = jnp.zeros(self.ndof, dtype=self.dtype)
+                        for asm, dens in zip(asms_, densities):
+                            def r_of(a, asm=asm, dens=dens):
+                                return asm.residual_vector(
+                                    dens, _set_unknown(U_, a),
+                                    params=params_)
+                            out = out + jax.jvp(r_of, (Uu,), (W_in,))[1]
+                        if apply_bcs:
+                            out = mask * out + (1.0 - mask) * W
+                        return out
+                    return action
+
+                def init(asms_, U_, rhs_, mask, diag_vec, params_):
+                    action = action_of(asms_, U_, mask, params_)
+                    return init_fn(action, jacobi_preconditioner(diag_vec),
+                                   rhs_, None)
+
+                def block(asms_, U_, mask, diag_vec, params_, st):
+                    action = action_of(asms_, U_, mask, params_)
+                    M = jacobi_preconditioner(diag_vec)
+                    return jax.lax.fori_loop(
+                        0, K, lambda i, s: step_fn(action, M, s), st)
+
+                return init, block
+
+            init, block = make_parts()
+            jinit = self._jitted(("kryblk_init",) + base, terms,
+                                 lambda: init)
+            jblock = self._jitted(("kryblk",) + base, terms,
+                                  lambda: block)
+            st = jinit(asms, U, rhs, self.mask, diag, params)
+            bnorm = float(jnp.linalg.norm(rhs))
             n = self.linear_max_iter or max(200, min(5000, 2 * self.ndof))
-            loop = (cg_device_iters if method == "cg"
-                    else bicgstab_device_iters)
-            x, _ = loop(action, rhs, n, M=Mpre, tol=self.linear_tol)
-            return x
+            for _ in range((int(n) + K - 1) // K):
+                st = jblock(asms, U, self.mask, diag, params, st)
+                if float(jnp.linalg.norm(st[1])) <= self.linear_tol * bnorm:
+                    break
+            return st[0]
 
         fkey, terms, pairs = self._form_key(form)
         asms = [a for a, _ in pairs]

@@ -113,6 +113,65 @@ def cg_device_iters(action, b, n_iters, M=None, x0=None, tol=None,
     return x, r
 
 
+def cg_state_init(action, M, b, x0):
+    """Initial PCG state pytree for cg_step (shared by the fused
+    fixed-iteration, python-level, and BLOCKED drivers)."""
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - action(x)
+    z = M(r)
+    return (x, r, z, jnp.vdot(r, z))
+
+
+def cg_step(action, M, st):
+    """One preconditioned-CG iteration on the state pytree
+    (x, r, p, rz) -- pure, safe inside lax.fori_loop."""
+    x, r, p, rz = st
+    Ap = action(p)
+    pAp = jnp.vdot(p, Ap)
+    alpha = jnp.where(pAp != 0.0, rz / pAp, 0.0)
+    x = x + alpha * p
+    r = r - alpha * Ap
+    z = M(r)
+    rz_new = jnp.vdot(r, z)
+    beta = jnp.where(rz != 0.0, rz_new / rz, 0.0)
+    return (x, r, z + beta * p, rz_new)
+
+
+def bicgstab_state_init(action, M, b, x0):
+    """Initial BiCGStab state pytree for bicgstab_step."""
+    x = jnp.zeros_like(b) if x0 is None else x0
+    r = b - action(x)
+    one = jnp.ones((), dtype=b.dtype)
+    z = jnp.zeros_like(b)
+    return (x, r, r, one, one, one, z, z)
+
+
+def bicgstab_step(action, M, st):
+    """One preconditioned-BiCGStab iteration on the state pytree
+    (x, r, rhat, rho, alpha, omega, v, p) -- pure, fori_loop-safe."""
+    x, r, rhat, rho, alpha, omega, v, p = st
+    rho_new = jnp.vdot(rhat, r)
+    beta = jnp.where(rho * omega != 0.0,
+                     (rho_new / rho) * (alpha / omega), 0.0)
+    p = r + beta * (p - omega * v)
+    phat = M(p)
+    v = action(phat)
+    denom = jnp.vdot(rhat, v)
+    alpha = jnp.where(denom != 0.0, rho_new / denom, 0.0)
+    s = r - alpha * v
+    shat = M(s)
+    t = action(shat)
+    tt = jnp.vdot(t, t)
+    omega = jnp.where(tt != 0.0, jnp.vdot(t, s) / tt, 0.0)
+    x = x + alpha * phat + omega * shat
+    r = s - omega * t
+    return (x, r, rhat, rho_new, alpha, omega, v, p)
+
+
+KRYLOV_STEPS = {"cg": (cg_state_init, cg_step),
+                "bicgstab": (bicgstab_state_init, bicgstab_step)}
+
+
 def bicgstab_device_iters(action, b, n_iters, M=None, x0=None, tol=None,
                           check_every=20):
     """Preconditioned BiCGStab as a PYTHON-level loop over jitted device
