@@ -41,7 +41,9 @@ from .calculus import (CurvilinearTensor, curvilinear_inner,  # noqa: F401
                        curvilinear_div, spline_GRAD, spline_DIV)
 from .contact import PointContact  # noqa: F401
 from .coupling import (PenaltyInterfaceCoupling,  # noqa: F401
-                       NitscheInterfaceCoupling)
+                       NitscheInterfaceCoupling, ShellInterfaceCoupling)
+from .interface import (InterfaceForm, EnergyNitscheCoupling,  # noqa: F401
+                        phys_grad)
 from .io import (write_extraction, read_extraction, write_vtk,  # noqa: F401
                  write_pvd, save_state, load_state)
 from .ops.sumfac import (make_sumfac_operator,  # noqa: F401

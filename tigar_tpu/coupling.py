@@ -1,24 +1,27 @@
-"""Penalty coupling of non-matching multi-patch interfaces.
+"""Penalty and consistent (Nitsche) coupling of non-matching multi-patch
+interfaces.
 
 The reference leaves inter-patch control-point merging as a TODO
 ("analogous to IPER in the Fortran code", tIGAr/BSplines.py:656-659) and
 notes that patch coupling must otherwise come from user-provided merged
 numbering or penalties.  models/multipatch.py provides the exact C0
-merging for MATCHED parameterizations; this module provides the penalty
-route for NON-MATCHING interfaces (different knot vectors / element counts
-on either side of a shared geometric interface), where no DoF
+merging for MATCHED parameterizations; this module provides weak coupling
+for NON-MATCHING interfaces (different knot vectors / element counts /
+degrees on either side of a shared geometric interface), where no DoF
 identification exists.
 
-Design mirrors contact.PointContact: host-side precompute of sparse
-point-evaluation operators (gather indices + weights) for both patches at
-a shared interface quadrature rule, energy as a batched masked sum, and
-AD-exact residual (grad) / tangent action (HVP) jit-compiled with the
-coupling object as a pytree argument.
+Since round 4 every coupling here is a provided density on the GENERAL
+interface-form mechanism (interface.InterfaceForm): jets of the coupled
+fields on both sides at a merged-breakpoint interface quadrature rule,
+energy = sum_q wq * density(u_a, u_b, qp, params), residual = AD grad,
+tangent action = HVP -- the analog of the reference's arbitrary UFL
+interface forms (common.py:1162-1173, 1266-1290).  Users can write their
+own interface terms directly with InterfaceForm; for automatically
+derived consistent couplings of ANY energy density (including the
+Kirchhoff-Love shell, with membrane + bending-moment + effective-shear
+flux), see interface.EnergyNitscheCoupling.
 
-    E(U) = penalty/2 * sum_q w_q |u_A(q) - u_B(q)|^2
-
-with w_q the physical surface measure of the interface computed from patch
-A's geometry.  Add ``mask * coupling.residual(U)`` to any residual and
+Usage: add ``mask * coupling.residual(U)`` to any residual and
 ``mask * coupling.tangent_action(U, mask * W)`` to the tangent action, as
 in the contact demos (reef-knot.py:440-482 pattern).
 """
@@ -26,139 +29,25 @@ in the contact demos (reef-knot.py:440-482 pattern).
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
-from .config import INDEX_TYPE
-from .ops.basis import eval_basis
-from .ops.quadrature import gauss_rule, npoints_for_degree
+from .interface import (InterfaceForm, EnergyNitscheCoupling,  # noqa: F401
+                        Jet3, InterfaceQP, SideQP, phys_grad,
+                        interface_quadrature, merged_breakpoints,
+                        rational_jet_rows, _register_iform)
 
 
-def _tensor_eval_op(patch, xi, doffset):
-    """Sparse point-evaluation rows for a tensor-product patch basis at
-    parametric points ``xi`` [nq, dim]: (conn [nq, nen], vals [nq, nen]),
-    with global DoF indices offset by ``doffset``."""
-    nq = xi.shape[0]
-    nodes_d, vals_d = [], []
-    for d, kv in enumerate(patch.kvs):
-        nd, ders = eval_basis(kv, xi[:, d], 0)
-        nodes_d.append(nd)
-        vals_d.append(ders[:, 0, :])
-    conn = nodes_d[0]
-    vals = vals_d[0]
-    stride = patch.kvs[0].ncp
-    for d in range(1, patch.dim):
-        conn = (conn[:, :, None]
-                + stride * nodes_d[d][:, None, :]).reshape(nq, -1)
-        vals = (vals[:, :, None] * vals_d[d][:, None, :]).reshape(nq, -1)
-        stride *= patch.kvs[d].ncp
-    return (conn + int(doffset)).astype(np.int64), vals
+# -- penalty coupling -----------------------------------------------------------------
 
 
-def _merged_breakpoints(kv_a, kv_b=None, flip=False, tol=1e-12):
-    """Union of the unique knots of one (or two) normalized knot vectors
-    along a shared interface direction; ``flip`` maps side B's coordinate
-    u -> 1 - u into side A's parameterization.  Gauss cells built between
-    consecutive union breakpoints are smooth for BOTH patches' bases, so
-    the interface quadrature is exact for genuinely non-matching knots
-    (round-2 VERDICT weak item #3: A-only spans underintegrate the
-    coupling terms at side B's interior knot lines)."""
-    pts = [np.asarray(kv_a.unique_knots)]
-    if kv_b is not None:
-        ub = np.asarray(kv_b.unique_knots)
-        pts.append(np.sort(1.0 - ub) if flip else ub)
-    u = np.sort(np.concatenate(pts))
-    keep = np.concatenate([[True], np.diff(u) > tol])
-    return u[keep]
+def _penalty_density(ua, ub, qp, params):
+    """E = penalty/2 |u_a - u_b|^2 per unit physical interface measure."""
+    j = ua.val - ub.val
+    return 0.5 * params["penalty"] * jnp.sum(j * j)
 
 
-def _interface_quadrature(patch, direction, side, npts, patch_b=None,
-                          free_b=None, flips=None):
-    """Tensor Gauss rule over the free directions of one patch side, on
-    cells between the MERGED breakpoints of both sides (when ``patch_b``
-    with its paired ``free_b`` directions and ``flips`` are given).
-
-    Returns (xi [nq, dim] parametric points with the fixed coordinate set
-    to the side value, w_param [nq] parametric weights, t_free [nq, dim-1]
-    free-direction coordinates in knot order)."""
-    free = [d for d in range(patch.dim) if d != direction]
-    gp, gw = gauss_rule(npts)
-    pts_d, wts_d = [], []
-    for i, d in enumerate(free):
-        if patch_b is not None:
-            uniq = _merged_breakpoints(
-                patch.kvs[d], patch_b.kvs[free_b[i]],
-                flip=bool(flips[i]) if flips is not None else False)
-        else:
-            uniq = patch.kvs[d].unique_knots
-        a, b = uniq[:-1], uniq[1:]
-        pts = (a[:, None] + 0.5 * (gp[None, :] + 1.0)
-               * (b - a)[:, None]).reshape(-1)
-        wts = (0.5 * (b - a)[:, None] * gw[None, :]).reshape(-1)
-        pts_d.append(pts)
-        wts_d.append(wts)
-    grids = np.meshgrid(*pts_d, indexing="ij")
-    wgrids = np.meshgrid(*wts_d, indexing="ij")
-    t_free = np.stack([g.reshape(-1) for g in grids], axis=-1)
-    w_param = np.prod([w.reshape(-1) for w in wgrids], axis=0)
-    nq = t_free.shape[0]
-    xi = np.zeros((nq, patch.dim))
-    xi[:, direction] = float(side)
-    for i, d in enumerate(free):
-        xi[:, d] = t_free[:, i]
-    return xi, w_param, t_free
-
-
-def _surface_measure(patch, bnet_patch, direction, side, xi):
-    """Physical surface Jacobian of the (rational) patch geometry on its
-    side at parametric points ``xi``: |dx/dt| for a curve interface,
-    |dx/dt1 x dx/dt2| for a surface interface."""
-    free = [d for d in range(patch.dim) if d != direction]
-    nq = xi.shape[0]
-    nsd1 = bnet_patch.shape[1]
-    # values and first derivatives of the homogeneous geometry
-    nodes_d, ders_d = [], []
-    for d, kv in enumerate(patch.kvs):
-        nd, ders = eval_basis(kv, xi[:, d], 1)
-        nodes_d.append(nd)
-        ders_d.append(ders)  # [nq, 2, p+1]
-    # tensor-product accumulation of value and d/d(free_i) rows
-    def accumulate(der_dir):
-        conn = nodes_d[0]
-        vals = ders_d[0][:, 1 if der_dir == 0 else 0, :]
-        stride = patch.kvs[0].ncp
-        for d in range(1, patch.dim):
-            v_d = ders_d[d][:, 1 if der_dir == d else 0, :]
-            conn = (conn[:, :, None]
-                    + stride * nodes_d[d][:, None, :]).reshape(nq, -1)
-            vals = (vals[:, :, None] * v_d[:, None, :]).reshape(nq, -1)
-            stride *= patch.kvs[d].ncp
-        return conn, vals
-
-    conn0, vals0 = accumulate(-1)
-    Xh = np.einsum("qa,qac->qc", vals0, bnet_patch[conn0])   # [nq, nsd+1]
-    w = Xh[:, -1]
-    x = Xh[:, :-1] / w[:, None]
-    tangents = []
-    for d in free:
-        cd, vd = accumulate(d)
-        dXh = np.einsum("qa,qac->qc", vd, bnet_patch[cd])
-        dx = (dXh[:, :-1] - x * dXh[:, -1:]) / w[:, None]
-        tangents.append(dx)
-    if len(tangents) == 1:
-        return np.linalg.norm(tangents[0], axis=-1)
-    t1, t2 = tangents
-    if t1.shape[1] == 3:
-        return np.linalg.norm(np.cross(t1, t2), axis=-1)
-    # codim-0 interface in nsd=2 cannot happen (dim-1 free dims == 2 means
-    # dim == 3); general Gram fallback
-    g11 = np.sum(t1 * t1, -1)
-    g22 = np.sum(t2 * t2, -1)
-    g12 = np.sum(t1 * t2, -1)
-    return np.sqrt(np.maximum(g11 * g22 - g12 ** 2, 0.0))
-
-
-class PenaltyInterfaceCoupling:
+@_register_iform
+class PenaltyInterfaceCoupling(InterfaceForm):
     """Penalty coupling of the fields of one ExtractedSpline across a
     non-matching interface between two patches of its multi-patch basis.
 
@@ -184,224 +73,41 @@ class PenaltyInterfaceCoupling:
     """
 
     def __init__(self, spline, patch_a, side_a, patch_b, side_b, penalty,
-                 flips=None, fields=None, quad_degree=None, geom_tol=1e-8):
-        from .models.multipatch import MultiPatchBSplineBasis
-
-        space = spline.space
-        basis = space.fields[0]
-        for f in space.fields:
-            if f is not basis:
-                raise ValueError("interface coupling requires an "
-                                 "equal-order space")
-        if not isinstance(basis, MultiPatchBSplineBasis):
-            raise NotImplementedError("interface coupling requires a "
-                                      "MultiPatchBSplineBasis space")
-        self.penalty = float(penalty)
-        self.fields = list(range(space.nfields)) if fields is None \
-            else list(fields)
-        dir_a, sd_a = side_a
-        dir_b, sd_b = side_b
-        pa = basis.patches[patch_a]
-        pb = basis.patches[patch_b]
-        if flips is None:
-            flips = (False,) * (pa.dim - 1)
-
-        npts = npoints_for_degree(quad_degree if quad_degree is not None
-                                  else spline.quad_degree)
-        free_b = [d for d in range(pb.dim) if d != dir_b]
-        xi_a, w_param, t_free = _interface_quadrature(
-            pa, dir_a, sd_a, npts, patch_b=pb, free_b=free_b, flips=flips)
-        nq = xi_a.shape[0]
-        xi_b = np.zeros((nq, pb.dim))
-        xi_b[:, dir_b] = float(sd_b)
-        for i, d in enumerate(free_b):
-            tb = 1.0 - t_free[:, i] if flips[i] else t_free[:, i]
-            xi_b[:, d] = tb
-
-        bnet = np.asarray(spline.bnet)
-        off_a, off_b = basis.doffsets[patch_a], basis.doffsets[patch_b]
-        bnet_a = bnet[off_a:off_a + pa.ncp]
-        bnet_b = bnet[off_b:off_b + pb.ncp]
-
-        conn_a, vals_a = _tensor_eval_op(pa, xi_a, off_a)
-        conn_b, vals_b = _tensor_eval_op(pb, xi_b, off_b)
-
-        # control weights (rationalization) and physical positions on both
-        # sides; verify the interfaces geometrically coincide
-        wa = np.einsum("qa,qa->q", vals_a, bnet[conn_a][:, :, -1])
-        wb = np.einsum("qa,qa->q", vals_b, bnet[conn_b][:, :, -1])
-        xa = np.einsum("qa,qac->qc", vals_a, bnet[conn_a][:, :, :-1]) \
-            / wa[:, None]
-        xb = np.einsum("qa,qac->qc", vals_b, bnet[conn_b][:, :, :-1]) \
-            / wb[:, None]
-        gap = float(np.max(np.linalg.norm(xa - xb, axis=-1)))
-        if gap > geom_tol:
-            raise ValueError(
-                "interface sides do not coincide geometrically (max gap "
-                f"{gap:.3e}); check patch/side indices and flips")
-
-        wq = w_param * _surface_measure(pa, bnet_a, dir_a, sd_a, xi_a)
-
-        dtype = spline.dtype
-        self.conn_a = jnp.asarray(conn_a.astype(INDEX_TYPE))
-        self.vals_a = jnp.asarray(vals_a, dtype=dtype)
-        self.w_a = jnp.asarray(wa, dtype=dtype)
-        self.conn_b = jnp.asarray(conn_b.astype(INDEX_TYPE))
-        self.vals_b = jnp.asarray(vals_b, dtype=dtype)
-        self.w_b = jnp.asarray(wb, dtype=dtype)
-        self.wq = jnp.asarray(wq, dtype=dtype)
-        self._offsets = [int(space.offsets[f]) for f in self.fields]
-        # host-side stash for subclasses (plain attributes, NOT pytree
-        # children/aux -- numpy arrays are unhashable as jit cache keys)
-        self._host = dict(pa=pa, pb=pb, xi_a=xi_a, xi_b=xi_b,
-                          bnet_a=bnet_a, bnet_b=bnet_b,
-                          dir_a=dir_a, sd_a=sd_a, dir_b=dir_b, sd_b=sd_b,
-                          off_a=int(off_a), off_b=int(off_b), dtype=dtype)
+                 flips=None, fields=None, quad_degree=None, geom_tol=1e-8,
+                 _density=None, _params=None, _nders=1):
+        super().__init__(
+            spline, patch_a, side_a, patch_b, side_b,
+            _penalty_density if _density is None else _density,
+            params={"penalty": float(penalty)} if _params is None
+            else _params,
+            nders=_nders, fields=fields, quad_degree=quad_degree,
+            flips=flips, geom_tol=geom_tol)
 
     @property
-    def area(self):
-        """Physical measure of the interface (diagnostic)."""
-        return float(jnp.sum(self.wq))
-
-    # -- energy / residual / tangent ------------------------------------------------
-
-    def _side_value(self, U, off, conn, vals, w):
-        return jnp.einsum("qa,qa->q", vals, U[off + conn]) / w
-
-    def energy(self, U):
-        e = 0.0
-        for off in self._offsets:
-            ua = self._side_value(U, off, self.conn_a, self.vals_a, self.w_a)
-            ub = self._side_value(U, off, self.conn_b, self.vals_b, self.w_b)
-            e = e + jnp.sum(self.wq * (ua - ub) ** 2)
-        return 0.5 * self.penalty * e
-
-    def jump_norm(self, U):
-        """L2 norm of the interface jump (diagnostic).  Computed directly
-        from the jump -- NOT back-solved from the energy, which for the
-        Nitsche subclass contains the -flux*jump term and can be
-        negative."""
-        s = 0.0
-        for off in self._offsets:
-            ua = self._side_value(U, off, self.conn_a, self.vals_a, self.w_a)
-            ub = self._side_value(U, off, self.conn_b, self.vals_b, self.w_b)
-            s = s + jnp.sum(self.wq * (ua - ub) ** 2)
-        return jnp.sqrt(s)
-
-    def residual(self, U):
-        return _coupling_residual(self, U)
-
-    def tangent_action(self, U, W):
-        return _coupling_tangent(self, U, W)
-
-    # -- pytree protocol ---------------------------------------------------------
-
-    def tree_flatten(self):
-        children = (self.conn_a, self.vals_a, self.w_a, self.conn_b,
-                    self.vals_b, self.w_b, self.wq)
-        aux = (self.penalty, tuple(self.fields), tuple(self._offsets))
-        return children, aux
-
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        obj = cls.__new__(cls)
-        (obj.conn_a, obj.vals_a, obj.w_a, obj.conn_b, obj.vals_b,
-         obj.w_b, obj.wq) = children
-        obj.penalty, fields, offsets = aux
-        obj.fields = list(fields)
-        obj._offsets = list(offsets)
-        return obj
+    def penalty(self):
+        return float(self.params["penalty"])
 
 
-jax.tree_util.register_pytree_node(
-    PenaltyInterfaceCoupling,
-    lambda c: c.tree_flatten(),
-    PenaltyInterfaceCoupling.tree_unflatten)
+# -- consistent (Nitsche) coupling, Laplace flux ---------------------------------------
 
 
-@jax.jit
-def _coupling_residual(coupling, U):
-    return jax.grad(coupling.energy)(U)
+def _laplace_nitsche_density(ua, ub, qp, params):
+    """Symmetric Nitsche interface density for the (vector) Laplace
+    operator:  -{du/dn}[u] + beta/2 [u]^2, with the average of the two
+    one-sided physical normal derivatives (surface gradient on shells,
+    full gradient on volumetric patches) against side A's oriented
+    conormal."""
+    ga = phys_grad(ua, qp.a)
+    gb = phys_grad(ub, qp.b)
+    flux = 0.5 * (ga + gb) @ qp.nu
+    jump = ua.val - ub.val
+    return jnp.sum(-flux * jump + 0.5 * params["penalty"] * jump ** 2)
 
 
-@jax.jit
-def _coupling_tangent(coupling, U, W):
-    # the energy is quadratic: the HVP is exact and U-independent
-    return jax.jvp(lambda a: jax.grad(coupling.energy)(a), (U,), (W,))[1]
-
-
-# -- consistent (Nitsche) coupling ---------------------------------------------------
-
-
-def _point_eval_rows(patch, bnet_patch, xi):
-    """Host-side sparse rows of the rationalized field and its PARAMETRIC
-    first derivatives at points ``xi`` [nq, dim], plus geometry data.
-
-    Returns (conn [nq, nen], N [nq, nen] value rows, Gp [nq, nen, dim]
-    rational parametric-gradient rows, x [nq, nsd] physical points,
-    DF [nq, nsd, dim] geometry Jacobian)."""
-    dim = patch.dim
-    nsd = bnet_patch.shape[1] - 1
-    nq = xi.shape[0]
-    nodes_d, ders_d = [], []
-    for d, kv in enumerate(patch.kvs):
-        nd, ders = eval_basis(kv, xi[:, d], 1)
-        nodes_d.append(nd)
-        ders_d.append(ders)
-
-    def accumulate(der_dir):
-        conn = nodes_d[0]
-        vals = ders_d[0][:, 1 if der_dir == 0 else 0, :]
-        stride = patch.kvs[0].ncp
-        for d in range(1, dim):
-            v_d = ders_d[d][:, 1 if der_dir == d else 0, :]
-            conn = (conn[:, :, None]
-                    + stride * nodes_d[d][:, None, :]).reshape(nq, -1)
-            vals = (vals[:, :, None] * v_d[:, None, :]).reshape(nq, -1)
-            stride *= patch.kvs[d].ncp
-        return conn, vals
-
-    conn, N = accumulate(-1)
-    dN = np.stack([accumulate(d)[1] for d in range(dim)], axis=-1)
-    Bh = bnet_patch[conn]                                  # [nq, nen, nsd+1]
-    w = np.einsum("qa,qa->q", N, Bh[..., -1])
-    Xh = np.einsum("qa,qac->qc", N, Bh)
-    x = Xh[:, :nsd] / w[:, None]
-    dw = np.einsum("qad,qa->qd", dN, Bh[..., -1])          # [nq, dim]
-    dXh = np.einsum("qad,qac->qcd", dN, Bh)                # [nq, nsd+1, dim]
-    DF = (dXh[:, :nsd, :] - x[:, :, None] * dXh[:, nsd:, :]) \
-        / w[:, None, None]
-    # rational parametric gradient rows (exact quotient rule)
-    Gp = (dN - N[:, :, None] * (dw / w[:, None])[:, None, :]) \
-        / w[:, None, None]                                 # [nq, nen, dim]
-    return conn, N / w[:, None], Gp, x, DF
-
-
-def _phys_grad_weights(patch, bnet_patch, xi):
-    """Per-point sparse PHYSICAL-gradient rows of the rationalized scalar
-    field on a dim-D patch in dim-D physical space (2D/2D or 3D/3D):
-
-        grad_x u(q) = sum_i Pg[q, i, :] * c_i    (exact quotient rule)
-
-    Returns (conn [nq, nen], Pg [nq, nen, d], x [nq, d], DF [nq, d, d]).
-    """
-    if patch.dim != bnet_patch.shape[1] - 1:
-        raise NotImplementedError(
-            "Nitsche flux rows require dim == nsd (volumetric patches); "
-            "surface (shell) interfaces use ShellInterfaceCoupling")
-    conn, _, Gp, x, DF = _point_eval_rows(patch, bnet_patch, xi)
-    DFinvT = np.transpose(np.linalg.inv(DF), (0, 2, 1))
-    Pg = np.einsum("qde,qae->qad", DFinvT, Gp)
-    return conn, Pg, x, DF
-
-
+@_register_iform
 class NitscheInterfaceCoupling(PenaltyInterfaceCoupling):
-    """CONSISTENT (symmetric Nitsche) coupling of a non-matching
-    multi-patch interface of a volumetric patch family (dim == nsd: 2D
-    patches in 2D, 3D patches in 3D; scalar or vector fields coupled
-    componentwise -- the Laplace/vector-Laplace flux).  Surface (shell)
-    interfaces use ShellInterfaceCoupling.  The coupling derives from the
-    quadratic functional
+    """CONSISTENT (symmetric Nitsche) coupling with the Laplace /
+    vector-Laplace flux: the coupling derives from the functional
 
         E(U) = sum_q w_q ( -{du/dn}(q) [u](q) + beta/2 [u](q)^2 )
 
@@ -409,80 +115,49 @@ class NitscheInterfaceCoupling(PenaltyInterfaceCoupling):
     form  -{du/dn}[v] - {dv/dn}[u] + beta [u][v]:  unlike pure penalty
     there is NO O(1/beta) consistency error, so ``beta`` only needs the
     stability scale ~C p^2 / h instead of a consistency-driven 1e8.
-    {du/dn} is the average of the two one-sided physical normal
-    derivatives (rational quotient rule exact), with the normal taken
+    {du/dn} is the average of the two one-sided physical conormal
+    derivatives (rational quotient rule exact), with the conormal taken
     from side A oriented toward patch B.
 
-    Same usage as PenaltyInterfaceCoupling (residual/tangent_action are
-    AD of the energy; jitted with the object as a pytree)."""
+    For OTHER operators, derive the consistent coupling automatically from
+    the energy density with interface.EnergyNitscheCoupling instead of
+    writing a new class (this class is itself just the provided density
+    ``_laplace_nitsche_density`` on InterfaceForm)."""
 
     def __init__(self, spline, patch_a, side_a, patch_b, side_b, beta,
                  flips=None, fields=None, quad_degree=None, geom_tol=1e-8):
         super().__init__(spline, patch_a, side_a, patch_b, side_b,
                          penalty=beta, flips=flips, fields=fields,
-                         quad_degree=quad_degree, geom_tol=geom_tol)
-        h = self._host
-        conn_a, Pg_a, x_a, DF_a = _phys_grad_weights(
-            h["pa"], h["bnet_a"], h["xi_a"])
-        conn_b, Pg_b, _, _ = _phys_grad_weights(
-            h["pb"], h["bnet_b"], h["xi_b"])
-
-        # interface normal: gradient of the fixed parametric coordinate,
-        # DF^{-T} e_dir (normal to the side's level set in any dim),
-        # oriented toward patch B's interior
-        DFinvT_a = np.transpose(np.linalg.inv(DF_a), (0, 2, 1))
-        n = DFinvT_a[:, :, h["dir_a"]]
-        n /= np.linalg.norm(n, axis=-1, keepdims=True)
-        xi_b_in = np.array(h["xi_b"])
-        xi_b_in[:, h["dir_b"]] = 0.05 if h["sd_b"] == 0 else 0.95
-        _, _, x_b_in, _ = _phys_grad_weights(h["pb"], h["bnet_b"], xi_b_in)
-        sign = np.sign(np.einsum("qc,qc->q", n, x_b_in - x_a))
-        if not (np.all(sign > 0) or np.all(sign < 0)):
-            raise ValueError("inconsistent interface normal orientation")
-        n *= sign[:, None]
-
-        dtype = h["dtype"]
-        # flux rows: fvals[q, i] = n(q) . Pg[q, i, :]  (rationalized)
-        self.fvals_a = jnp.asarray(np.einsum("qad,qd->qa", Pg_a, n),
-                                   dtype=dtype)
-        self.fvals_b = jnp.asarray(np.einsum("qad,qd->qa", Pg_b, n),
-                                   dtype=dtype)
-
-    def energy(self, U):
-        e = 0.0
-        for off in self._offsets:
-            ua = self._side_value(U, off, self.conn_a, self.vals_a, self.w_a)
-            ub = self._side_value(U, off, self.conn_b, self.vals_b, self.w_b)
-            fa = jnp.einsum("qa,qa->q", self.fvals_a, U[off + self.conn_a])
-            fb = jnp.einsum("qa,qa->q", self.fvals_b, U[off + self.conn_b])
-            jump = ua - ub
-            flux = 0.5 * (fa + fb)
-            e = e + jnp.sum(self.wq * (-flux * jump
-                                       + 0.5 * self.penalty * jump ** 2))
-        return e
-
-    # -- pytree protocol (adds the flux rows) -----------------------------------
-
-    def tree_flatten(self):
-        children, aux = super().tree_flatten()
-        return children + (self.fvals_a, self.fvals_b), aux
-
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        obj = super().tree_unflatten(aux, children[:-2])
-        obj.fvals_a, obj.fvals_b = children[-2:]
-        return obj
+                         quad_degree=quad_degree, geom_tol=geom_tol,
+                         _density=_laplace_nitsche_density)
 
 
-jax.tree_util.register_pytree_node(
-    NitscheInterfaceCoupling,
-    lambda c: c.tree_flatten(),
-    NitscheInterfaceCoupling.tree_unflatten)
+# -- shell-shell (surface) interface coupling ------------------------------------------
 
 
-# -- shell-shell (surface) interface coupling ----------------------------------------
+def _deformed_unit_normal(DF, ug):
+    G = DF + ug
+    n = jnp.cross(G[:, 0], G[:, 1])
+    return n / jnp.sqrt(jnp.dot(n, n))
 
 
+def _shell_penalty_density(ua, ub, qp, params):
+    """Displacement + rotation penalty for two KL shell patches:
+    pd/2 |[u]|^2 + pr/2 |(n_A(U)-n_A(0)) - s (n_B(U)-n_B(0))|^2 with the
+    deformed unit normals built from the side jets."""
+    jump = ua.val - ub.val
+    e_d = jnp.sum(jump * jump)
+    za = jnp.zeros_like(ua.g)
+    na = _deformed_unit_normal(qp.a.DF, ua.g)
+    n0a = _deformed_unit_normal(qp.a.DF, za)
+    nb = _deformed_unit_normal(qp.b.DF, ub.g)
+    n0b = _deformed_unit_normal(qp.b.DF, za)
+    dn = (na - n0a) - params["sign"] * (nb - n0b)
+    return 0.5 * (params["penalty"] * e_d
+                  + params["penalty_rot"] * jnp.sum(dn * dn))
+
+
+@_register_iform
 class ShellInterfaceCoupling(PenaltyInterfaceCoupling):
     """Displacement + rotation penalty coupling of two Kirchhoff-Love
     shell patches (2D patches in 3D, equal-order 3-field displacement
@@ -500,7 +175,9 @@ class ShellInterfaceCoupling(PenaltyInterfaceCoupling):
     jets (exact quotient rule) and s = +-1 aligning the two sides'
     reference orientations (auto-detected).  Scale pd ~ beta*E*h/h_el and
     pr ~ beta*E*h^3/h_el (beta ~ 1e1..1e3); consistency error is
-    O(1/beta) as for any pure penalty.
+    O(1/beta) as for any pure penalty.  For the CONSISTENT (floor-free)
+    alternative use interface.EnergyNitscheCoupling with the shell energy
+    density (tests/test_interface.py::test_shell_nitsche_beats_penalty).
 
     residual/tangent_action are AD of the energy, jitted with the object
     as a pytree, exactly as the parent."""
@@ -511,84 +188,57 @@ class ShellInterfaceCoupling(PenaltyInterfaceCoupling):
         if spline.space.nfields != 3:
             raise ValueError("shell coupling requires a 3-field "
                              "displacement space")
-        super().__init__(spline, patch_a, side_a, patch_b, side_b,
-                         penalty=penalty_disp, flips=flips, fields=None,
-                         quad_degree=quad_degree, geom_tol=geom_tol)
-        h = self._host
-        if h["pa"].dim != 2 or h["bnet_a"].shape[1] != 4:
+        basis = spline.space.fields[0]
+        pa = basis.patches[patch_a]
+        if pa.dim != 2 or np.asarray(spline.bnet).shape[1] != 4:
             raise NotImplementedError("shell coupling requires 2D patches "
                                       "in 3D physical space")
-        dtype = h["dtype"]
-        self.penalty_rot = float(penalty_rot)
-        rows = {}
-        for key, patch, bnet, xi in (("a", h["pa"], h["bnet_a"], h["xi_a"]),
-                                     ("b", h["pb"], h["bnet_b"], h["xi_b"])):
-            conn, Nr, Gp, x, DF = _point_eval_rows(patch, bnet, xi)
-            rows[key] = (jnp.asarray(Gp, dtype=dtype),
-                         jnp.asarray(DF, dtype=dtype))
-        self.Gp_a, self.DF0_a = rows["a"]
-        self.Gp_b, self.DF0_b = rows["b"]
+        super().__init__(
+            spline, patch_a, side_a, patch_b, side_b,
+            penalty=penalty_disp, flips=flips, fields=None,
+            quad_degree=quad_degree, geom_tol=geom_tol,
+            _density=_shell_penalty_density,
+            _params={"penalty": float(penalty_disp),
+                     "penalty_rot": float(penalty_rot),
+                     "sign": 1.0})
 
-        def ref_normal(DF):
-            n = np.cross(np.asarray(DF)[:, :, 0], np.asarray(DF)[:, :, 1])
+        # orientation sign aligning the two sides' reference normals
+        def ref_normals(qp):
+            DF = np.asarray(qp.DF)
+            n = np.cross(DF[:, :, 0], DF[:, :, 1])
             return n / np.linalg.norm(n, axis=-1, keepdims=True)
 
-        n0a, n0b = ref_normal(self.DF0_a), ref_normal(self.DF0_b)
+        n0a = ref_normals(self.side_a.qp)
+        n0b = ref_normals(self.side_b.qp)
         dots = np.einsum("qc,qc->q", n0a, n0b)
         if not (np.all(dots > 0) or np.all(dots < 0)):
             raise ValueError("inconsistent relative orientation of the "
                              "two shell patches along the interface")
-        self.orient_sign = 1.0 if dots[0] > 0 else -1.0
-        self.n0_a = jnp.asarray(n0a, dtype=dtype)
-        self.n0_b = jnp.asarray(n0b, dtype=dtype)
+        self.params["sign"] = 1.0 if dots[0] > 0 else -1.0
 
-    def _side_normal(self, U, conn, Gp, DF0):
-        """Deformed unit normal of one side at the interface points."""
-        dd = jnp.stack(
-            [jnp.einsum("qad,qa->qd", Gp, U[off + conn])
-             for off in self._offsets], axis=1)     # [nq, 3, 2]
-        a = DF0 + dd
-        n = jnp.cross(a[:, :, 0], a[:, :, 1])
-        return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+    @property
+    def penalty_rot(self):
+        return float(self.params["penalty_rot"])
 
-    def energy(self, U):
-        e_d = 0.0
-        for off in self._offsets:
-            ua = self._side_value(U, off, self.conn_a, self.vals_a, self.w_a)
-            ub = self._side_value(U, off, self.conn_b, self.vals_b, self.w_b)
-            e_d = e_d + jnp.sum(self.wq * (ua - ub) ** 2)
-        na = self._side_normal(U, self.conn_a, self.Gp_a, self.DF0_a)
-        nb = self._side_normal(U, self.conn_b, self.Gp_b, self.DF0_b)
-        dn = (na - self.n0_a) - self.orient_sign * (nb - self.n0_b)
-        e_r = jnp.sum(self.wq * jnp.sum(dn * dn, axis=-1))
-        return 0.5 * (self.penalty * e_d + self.penalty_rot * e_r)
+    @property
+    def orient_sign(self):
+        return float(self.params["sign"])
 
     def rotation_jump_norm(self, U):
         """L2 norm of the relative-rotation (normal-change jump)
         diagnostic."""
-        na = self._side_normal(U, self.conn_a, self.Gp_a, self.DF0_a)
-        nb = self._side_normal(U, self.conn_b, self.Gp_b, self.DF0_b)
-        dn = (na - self.n0_a) - self.orient_sign * (nb - self.n0_b)
+        import jax
+
+        ua = self._jets(U, self.side_a)
+        ub = self._jets(U, self.side_b)
+
+        def dn_of(ua_q, ub_q, qa, qb):
+            za = jnp.zeros_like(ua_q.g)
+            na = _deformed_unit_normal(qa.DF, ua_q.g)
+            n0a = _deformed_unit_normal(qa.DF, za)
+            nb = _deformed_unit_normal(qb.DF, ub_q.g)
+            n0b = _deformed_unit_normal(qb.DF, za)
+            return (na - n0a) - self.params["sign"] * (nb - n0b)
+
+        dn = jax.vmap(dn_of)(ua, ub, self.side_a.qp, self.side_b.qp)
         return jnp.sqrt(jnp.sum(self.wq * jnp.sum(dn * dn, axis=-1)))
-
-    # -- pytree protocol ---------------------------------------------------------
-
-    def tree_flatten(self):
-        children, aux = super().tree_flatten()
-        children = children + (self.Gp_a, self.DF0_a, self.Gp_b, self.DF0_b,
-                               self.n0_a, self.n0_b)
-        return children, aux + (self.penalty_rot, self.orient_sign)
-
-    @classmethod
-    def tree_unflatten(cls, aux, children):
-        obj = super().tree_unflatten(aux[:-2], children[:-6])
-        (obj.Gp_a, obj.DF0_a, obj.Gp_b, obj.DF0_b,
-         obj.n0_a, obj.n0_b) = children[-6:]
-        obj.penalty_rot, obj.orient_sign = aux[-2:]
-        return obj
-
-
-jax.tree_util.register_pytree_node(
-    ShellInterfaceCoupling,
-    lambda c: c.tree_flatten(),
-    ShellInterfaceCoupling.tree_unflatten)
