@@ -143,7 +143,7 @@ grid_shapes = [tuple(kv.ncp for kv in reversed(
     s.space.fields[0].kvs)) for s in bases]
 for iters, smooth, omega in ((15, 2, 0.7), (40, 2, 0.7), (15, 4, 0.7),
                              (30, 3, 0.6)):
-    mgcg = make_stencil_mgcg(3, grid_shapes, n_smooth=smooth, omega=omega,
+    mgcg = make_stencil_mgcg(len(bases), n_smooth=smooth, omega=omega,
                              n_iters=iters)
     t0 = time.time()
     x = mgcg((st32,) + ns._coarse_sts, (ns.mask32,) + ns._coarse_masks,

@@ -1,0 +1,122 @@
+"""Production mixed-precision Newton on a COUPLED multi-patch shell
+(solvers/newton_stencil_mp.MultiPatchStencilNewton) -- round-3 VERDICT
+item #2: the flagship solver must serve more than one space family.
+
+Two non-matching KL plate patches weakly coupled by a displacement +
+rotation penalty; per-patch stencil tangents + the exact dense interface
+block, per-patch knot-insertion MG transfers, coarse dense inverse
+including the coupling.  The solve must reach the f64 production
+tolerance and agree with an independent dense direct Newton solve of the
+SAME discrete system."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tigar_tpu.ops.knots import uniform_knots
+from tigar_tpu.models.bspline import TensorBSplineBasis
+from tigar_tpu.models.multipatch import (MultiPatchBSplineBasis,
+                                         MultiPatchControlMesh)
+from tigar_tpu.models.space import EqualOrderSpline
+from tigar_tpu.models.extracted import ExtractedSpline
+from tigar_tpu.models.shell import (precompute_shell_reference,
+                                    svk_shell_adjoint, svk_shell_residual)
+from tigar_tpu.coupling import ShellInterfaceCoupling
+from tigar_tpu.solvers.newton_stencil_mp import MultiPatchStencilNewton
+
+P = 2
+E_MOD, NU, H_TH, Q = 1.0e7, 0.3, 0.05, 0.05
+
+
+def _two_patch_shell(nel_x, nel_ay, nel_by):
+    pa = TensorBSplineBasis([P, P], [uniform_knots(P, 0.0, 1.0, nel_x),
+                                     uniform_knots(P, 0.0, 1.0, nel_ay)])
+    pb = TensorBSplineBasis([P, P], [uniform_knots(P, 0.0, 1.0, nel_x),
+                                     uniform_knots(P, 0.0, 1.0, nel_by)])
+    basis = MultiPatchBSplineBasis([pa, pb])
+
+    def bnet(patch, x_off):
+        g = patch.greville_points()
+        B = np.zeros((g.shape[0], 4))
+        B[:, 0] = g[:, 0] + x_off
+        B[:, 1] = g[:, 1]
+        B[:, 3] = 1.0
+        return B
+
+    cm = MultiPatchControlMesh(basis, [bnet(basis.patches[0], 0.0),
+                                       bnet(basis.patches[1], 1.0)])
+    gen = EqualOrderSpline(3, cm)
+    clamp = basis.patch_side_dofs(0, 0, 0, n_layers=2)
+    for i in range(3):
+        gen.add_zero_dofs(i, clamp)
+    sp = precompute_shell_reference(
+        ExtractedSpline(gen, quad_degree=2 * P, nders=2))
+    return sp, basis
+
+
+def _coupling(sp, pd, pr):
+    return ShellInterfaceCoupling(sp, 0, (0, 1), 1, (0, 0),
+                                  penalty_disp=pd, penalty_rot=pr)
+
+
+def test_multipatch_stencil_newton_floor():
+    nel = 8
+    h_el = 1.0 / nel
+    pd = 1e2 * E_MOD * H_TH / h_el
+    pr = 1e2 * E_MOD * H_TH ** 3 / h_el
+
+    levels = [(2 * nel, 2 * nel, 2 * nel + 4),
+              (nel, nel, nel + 2),
+              (nel // 2, nel // 2, nel // 2 + 1)]
+    splines, couplings = [], []
+    for lx, lay, lby in levels:
+        sp, _ = _two_patch_shell(lx, lay, lby)
+        splines.append(sp)
+        couplings.append(_coupling(sp, pd, pr))
+    spline, coupling = splines[0], couplings[0]
+
+    def res_adj(ctx, u):
+        F = svk_shell_adjoint(ctx, u, E_MOD, NU, H_TH)
+        return F._replace(val=F.val.at[2].add(-Q))
+
+    ns = MultiPatchStencilNewton(
+        spline, res_adj, coupling,
+        mg_splines=splines[1:], mg_couplings=couplings[1:],
+        cg_iters=25, polish_cg_iters=40)
+    U, rel, steps, dU_rel = ns.solve(rtol=1e-10, max_iters=25)
+    # the displacement penalty (pd ~ 4e8) raises the assembled-residual
+    # roundoff floor: rel stagnates ~5e-9 (floor acceptance); correctness
+    # is anchored by the dense direct-Newton cross-check below
+    assert rel < 2e-8, (rel, steps)
+    assert np.all(np.isfinite(np.asarray(U)))
+
+    # independent dense direct Newton on the SAME discrete system
+    def res(ctx, u, v):
+        return svk_shell_residual(ctx, u, v, E_MOD, NU, H_TH) - Q * v.val[2]
+
+    mask = spline.mask
+    idx, _ = coupling.tangent_block(jnp.zeros(spline.ndof))
+    idxj = jnp.asarray(idx)
+    Ud = jnp.zeros(spline.ndof, dtype=spline.dtype)
+    r0_norm = None
+    for _ in range(12):
+        r = (spline.assemble_vector(res, U=Ud)
+             + mask * coupling.residual(Ud))
+        r_norm = float(jnp.linalg.norm(r))
+        if r0_norm is None:
+            r0_norm = r_norm
+        if r_norm < 1e-9 * r0_norm:
+            break
+        A = spline.assemble_matrix(res, U=Ud)
+        _, K = coupling.tangent_block(Ud)
+        A = A.at[idxj[:, None], idxj[None, :]].add(
+            K * mask[idxj][:, None] * mask[idxj][None, :])
+        Ud = Ud - jnp.linalg.solve(A, r)
+
+    rel_diff = float(jnp.linalg.norm(U - Ud) / jnp.linalg.norm(Ud))
+    assert rel_diff < 1e-7, rel_diff
+
+    # the coupled plate actually bends across the interface (patch 1)
+    w_tip = float(spline.evaluate(U, np.asarray([[1.0, 0.5]]),
+                                  patch=1)[0, 2])
+    assert abs(w_tip) > 1e-8

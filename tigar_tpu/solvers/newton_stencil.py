@@ -86,21 +86,59 @@ def _grid_prolong(Ps, x, nf, shape_c):
     return grid.reshape(-1)
 
 
-def make_stencil_mgcg(nf, grid_shapes, n_smooth=2, omega=0.7, n_iters=15):
+class TensorProlong:
+    """Separable knot-insertion prolongation between two nested
+    tensor-product levels (pytree): ``up`` maps coarse coefficients to
+    fine, ``down`` is the exact transpose (restriction).  The MG solver
+    builders below only see this up/down interface, so multi-patch level
+    transfers (solvers/newton_stencil_mp.MultiPatchProlong) drop into the
+    SAME fused programs."""
+
+    def __init__(self, Ps, nf, shape_f, shape_c):
+        self.Ps = tuple(Ps)          # per-direction [n_f, n_c], slowest 1st
+        self.nf = int(nf)
+        self.shape_f = tuple(int(n) for n in shape_f)
+        self.shape_c = tuple(int(n) for n in shape_c)
+
+    def up(self, xc):
+        return _grid_prolong(self.Ps, xc, self.nf, self.shape_c)
+
+    def down(self, rf):
+        return _grid_prolong(tuple(P.T for P in self.Ps), rf, self.nf,
+                             self.shape_f)
+
+    def tree_flatten(self):
+        return (self.Ps,), (self.nf, self.shape_f, self.shape_c)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        (obj.Ps,) = children
+        obj.nf, obj.shape_f, obj.shape_c = aux
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    TensorProlong,
+    lambda p: p.tree_flatten(),
+    TensorProlong.tree_unflatten)
+
+
+def make_stencil_mgcg(nlev, n_smooth=2, omega=0.7, n_iters=15):
     """Build the jitted fused MG-CG solver over stencil level operators.
 
     Returns jit-compiled ``solve(sts, masks, dinvs, Ps, coarse_inv, b)``:
-      sts        : per-level StencilOperator (fine first)
+      sts        : per-level operators (fine first; any callable pytree --
+                   StencilOperator or the multipatch composite)
       masks      : per-level BC masks
       dinvs      : per-level inverse Jacobi diagonals (BC'd)
-      Ps         : per-transition tuple of per-direction prolongation
-                   matrices (slowest first), coarse -> fine
+      Ps         : per-transition prolongation objects with up()/down()
+                   (TensorProlong / MultiPatchProlong)
       coarse_inv : dense inverse of the coarsest BC'd operator
       b          : fine RHS
     All level structure (depth, shapes) is static; the arrays are runtime
     arguments, so per-Newton-step stencil rebuilds reuse the compiled
     program."""
-    nlev = len(grid_shapes)
 
     def action(sts, masks, l, W):
         m = masks[l]
@@ -115,6 +153,14 @@ def make_stencil_mgcg(nf, grid_shapes, n_smooth=2, omega=0.7, n_iters=15):
             sweeps = n_smooth
         for _ in range(sweeps):
             x = x + om_dinv * (b - action(sts, masks, l, x))
+        # optional exact subspace correction (multiplicative Schwarz):
+        # operators that carry a dense local inverse (the multipatch
+        # interface block, whose penalty stiffness Jacobi cannot smooth --
+        # measured: inner MG-CG contracts only to 0.31 without it at
+        # beta=1e2 shell-coupling scales) expose schwarz(r, mask)
+        sch = getattr(sts[l], "schwarz", None)
+        if sch is not None and getattr(sts[l], "has_schwarz", False):
+            x = x + sch(b - action(sts, masks, l, x), masks[l])
         return x
 
     def vcycle(sts, masks, dinvs, Ps, coarse_inv, l, b):
@@ -122,10 +168,9 @@ def make_stencil_mgcg(nf, grid_shapes, n_smooth=2, omega=0.7, n_iters=15):
             return coarse_inv @ b
         x = smooth(sts, masks, dinvs, l, b)
         r = b - action(sts, masks, l, x)
-        PsT = tuple(P.T for P in Ps[l])
-        rc = masks[l + 1] * _grid_prolong(PsT, r, nf, grid_shapes[l])
+        rc = masks[l + 1] * Ps[l].down(r)
         ec = vcycle(sts, masks, dinvs, Ps, coarse_inv, l + 1, rc)
-        x = x + masks[l] * _grid_prolong(Ps[l], ec, nf, grid_shapes[l + 1])
+        x = x + masks[l] * Ps[l].up(ec)
         return smooth(sts, masks, dinvs, l, b, x)
 
     def solve(sts, masks, dinvs, Ps, coarse_inv, b):
@@ -159,8 +204,7 @@ def make_stencil_mgcg(nf, grid_shapes, n_smooth=2, omega=0.7, n_iters=15):
     return jax.jit(solve)
 
 
-def make_stencil_mgcg_mixed(nf, grid_shapes, n_smooth=2, omega=0.7,
-                            n_iters=30):
+def make_stencil_mgcg_mixed(nlev, n_smooth=2, omega=0.7, n_iters=30):
     """Fused MIXED-PRECISION MG-CG: the outer CG runs in f64 (f64 stencil
     applies, f64 vectors) with the f32 V-cycle as preconditioner.
 
@@ -174,7 +218,6 @@ def make_stencil_mgcg_mixed(nf, grid_shapes, n_smooth=2, omega=0.7,
 
     Signature: solve(st64, mask64, sts32, masks, dinvs, Ps, coarse_inv,
     b64); level structure static, arrays runtime."""
-    nlev = len(grid_shapes)
 
     def action32(sts, masks, l, W):
         m = masks[l]
@@ -189,6 +232,9 @@ def make_stencil_mgcg_mixed(nf, grid_shapes, n_smooth=2, omega=0.7,
             sweeps = n_smooth
         for _ in range(sweeps):
             x = x + om_dinv * (b - action32(sts, masks, l, x))
+        sch = getattr(sts[l], "schwarz", None)
+        if sch is not None and getattr(sts[l], "has_schwarz", False):
+            x = x + sch(b - action32(sts, masks, l, x), masks[l])
         return x
 
     def vcycle(sts, masks, dinvs, Ps, coarse_inv, l, b):
@@ -196,10 +242,9 @@ def make_stencil_mgcg_mixed(nf, grid_shapes, n_smooth=2, omega=0.7,
             return coarse_inv @ b
         x = smooth(sts, masks, dinvs, l, b)
         r = b - action32(sts, masks, l, x)
-        PsT = tuple(P.T for P in Ps[l])
-        rc = masks[l + 1] * _grid_prolong(PsT, r, nf, grid_shapes[l])
+        rc = masks[l + 1] * Ps[l].down(r)
         ec = vcycle(sts, masks, dinvs, Ps, coarse_inv, l + 1, rc)
-        x = x + masks[l] * _grid_prolong(Ps[l], ec, nf, grid_shapes[l + 1])
+        x = x + masks[l] * Ps[l].up(ec)
         return smooth(sts, masks, dinvs, l, b, x)
 
     def solve(st64, mask64, sts32, masks, dinvs, Ps, coarse_inv, b64):
@@ -385,17 +430,22 @@ class StencilNewton:
                                for s in self.mg_splines]
         grid_shapes = [tuple(kv.ncp for kv in reversed(b.kvs))
                        for b in all_bases]
-        self._mgcg = make_stencil_mgcg(nf, grid_shapes, n_smooth=n_smooth,
+        nlev = len(grid_shapes)
+        self._mgcg = make_stencil_mgcg(nlev, n_smooth=n_smooth,
                                        omega=omega, n_iters=self.cg_iters)
         self._mgcg_mixed = make_stencil_mgcg_mixed(
-            nf, grid_shapes, n_smooth=n_smooth, omega=omega,
+            nlev, n_smooth=n_smooth, omega=omega,
             n_iters=int(polish_cg_iters))
-        # per-transition per-direction prolongation matrices (slowest 1st)
+        # per-transition separable prolongation objects (coarse -> fine)
         self._Ps = tuple(
-            tuple(jnp.asarray(insertion_matrix_1d(kc, kf),
-                              dtype=jnp.float32)
-                  for kc, kf in zip(reversed(bc.kvs), reversed(bf.kvs)))
-            for bf, bc in zip(all_bases[:-1], all_bases[1:]))
+            TensorProlong(
+                tuple(jnp.asarray(insertion_matrix_1d(kc, kf),
+                                  dtype=jnp.float32)
+                      for kc, kf in zip(reversed(bc.kvs),
+                                        reversed(bf.kvs))),
+                nf, grid_shapes[i], grid_shapes[i + 1])
+            for i, (bf, bc) in enumerate(zip(all_bases[:-1],
+                                             all_bases[1:])))
 
         if _precomputed is not None:
             # shared ladder handed down by a parent solver (coarse_solver):
