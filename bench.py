@@ -74,18 +74,201 @@ def ref_step_seconds(ndof):
     return t_res + t_mat + t_lu
 
 
-def main():
-    T0 = time.time()
-    import jax
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".jax_cache")
-    have_cache = os.path.isdir(cache_dir)
-    n_cache0 = len(os.listdir(cache_dir)) if have_cache else 0
-    jax.config.update("jax_compilation_cache_dir", cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    log(f"persistent cache: {'present' if have_cache else 'COLD'} "
-        f"({n_cache0} entries)")
+def _time_step(ns, spline, log, reps=3):
+    """Best-of-reps wall clock of one production Newton step (dependent
+    dispatch chain ended by a host value fetch -- see module docstring)."""
+    import time
     import jax.numpy as jnp
+
+    U = jnp.zeros(spline.ndof, dtype=spline.dtype)
+    t0 = time.time()
+    U1, rn, _dU = ns.step(U)
+    _ = (float(rn), float(jnp.vdot(U1, U1)))
+    log(f"newton step compile+first: {time.time() - t0:.1f}s")
+    best = np.inf
+    Ui = U1
+    for _ in range(reps):
+        t0 = time.time()
+        Ui, rn, _dU = ns.step(Ui)
+        _ = float(jnp.vdot(Ui, Ui))   # fetch forces the whole chain
+        best = min(best, time.time() - t0)
+    return best
+
+
+def _solve_and_certify(ns, spline, polish_res_dev, log, use_nested=False):
+    """Full mixed-precision solve + double-precision floor certificate
+    (see main() comments); returns the artifact fragment."""
+    import time
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    if use_nested:
+        Usol, rel64, nsteps, dU_rel = ns.solve_nested(rtol=1e-10, log=log)
+    else:
+        Usol, rel64, nsteps, dU_rel = ns.solve(rtol=1e-10, log=log)
+    t_solve = time.time() - t0
+    r0_64 = float(jnp.linalg.norm(ns._res(ns.asm64, ns.mask64,
+                                          jnp.zeros_like(Usol))))
+    # the cross-check evaluation must come from the OTHER f64
+    # implementation than the one the solve's own residuals used: host
+    # CPU native IEEE f64 vs TPU emulated f64
+    if polish_res_dev == "cpu":
+        cpu_rel = ns.true_rel_residual(Usol, r0_64)   # TPU-emulated
+    else:
+        cpu_rel = ns.cpu_true_residual(Usol) / r0_64  # CPU native
+    log(f"full solve: {t_solve:.2f}s, {nsteps} steps, "
+        f"final f64 rel |r| = {rel64:.3e}, |dU|/|U| = {dU_rel:.2e}, "
+        f"cross-backend true-f64 rel = {cpu_rel:.3e} "
+        f"(polish residuals on {polish_res_dev})")
+    # the floor certificate needs BOTH signatures: TPU and true-IEEE CPU
+    # evaluations agreeing (at a non-floor state they agree trivially) AND
+    # a collapsed Newton increment (only true at the roundoff floor)
+    floor_certified = bool(rel64 <= 3.0 * max(cpu_rel, 1e-16)
+                           and rel64 <= 1e-8 and dU_rel <= 1e-10)
+    f64_ok = bool(rel64 <= 1e-10) or floor_certified
+    return {
+        "full_solve_s": t_solve,
+        "full_solve_steps": nsteps,
+        "f64_rel_residual": rel64,
+        "f64_dU_rel": dU_rel,
+        "cross_backend_true_f64_rel_residual": cpu_rel,
+        "polish_residual_device": polish_res_dev,
+        "f64_floor_certified": floor_certified,
+        "f64_accurate": f64_ok,
+    }
+
+
+def _two_patch_point(log):
+    """Round-4 (VERDICT item #2) evidence: the PRODUCTION mixed-precision
+    solve on a COUPLED TWO-PATCH KL shell -- same plate, same material,
+    same load as the headline, but split at x=0 into two patches with a
+    NON-MATCHING interface (nel x 2nel vs nel x 2nel+4 elements), weakly
+    coupled by a displacement+rotation penalty
+    (coupling.ShellInterfaceCoupling).  Solver:
+    solvers/newton_stencil_mp.MultiPatchStencilNewton -- per-patch stencil
+    tangents + the exact dense interface block, per-patch MG transfers,
+    interface Schwarz smoothing, and the same f32-production /
+    f64-polish phases and evaluation-floor certificates as the
+    single-patch flagship."""
+    import os
+    import time
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tigar_tpu.ops.knots import uniform_knots
+    from tigar_tpu.models.bspline import TensorBSplineBasis
+    from tigar_tpu.models.multipatch import (MultiPatchBSplineBasis,
+                                             MultiPatchControlMesh)
+    from tigar_tpu.models.space import EqualOrderSpline
+    from tigar_tpu.models.extracted import ExtractedSpline
+    from tigar_tpu.models.shell import (precompute_shell_reference,
+                                        svk_shell_adjoint)
+    from tigar_tpu.coupling import ShellInterfaceCoupling
+    from tigar_tpu.solvers.newton_stencil_mp import MultiPatchStencilNewton
+
+    p = 2
+    nel = int(os.environ.get("BENCH_TP_NEL", "64"))   # per patch along x
+    E_mod, nu, h_th = 1.0e7, 0.3, 0.03
+    q = float(os.environ.get("BENCH_Q", "100.0"))
+
+    def build(nx, nay, nby):
+        pa = TensorBSplineBasis(
+            [p, p], [uniform_knots(p, 0.0, 1.0, nx),
+                     uniform_knots(p, 0.0, 1.0, nay)])
+        pb = TensorBSplineBasis(
+            [p, p], [uniform_knots(p, 0.0, 1.0, nx),
+                     uniform_knots(p, 0.0, 1.0, nby)])
+        basis = MultiPatchBSplineBasis([pa, pb])
+
+        def bnet(patch, x_off):
+            g = patch.greville_points()
+            B = np.zeros((g.shape[0], 4))
+            B[:, 0] = g[:, 0] + x_off           # [-1,0] / [0,1]
+            B[:, 1] = 2.0 * g[:, 1] - 1.0       # [-1,1]
+            B[:, 3] = 1.0
+            return B
+
+        cm = MultiPatchControlMesh(
+            basis, [bnet(basis.patches[0], -1.0),
+                    bnet(basis.patches[1], 0.0)])
+        gen = EqualOrderSpline(3, cm)
+        for i in range(3):
+            gen.add_zero_dofs(i, basis.patch_side_dofs(0, 0, 0, n_layers=2))
+            gen.add_zero_dofs(i, basis.patch_side_dofs(1, 0, 1, n_layers=2))
+            for patch in (0, 1):
+                for s in (0, 1):
+                    gen.add_zero_dofs(
+                        i, basis.patch_side_dofs(patch, 1, s, n_layers=2))
+        return precompute_shell_reference(
+            ExtractedSpline(gen, quad_degree=2 * p, nders=2))
+
+    h_el = 1.0 / nel
+    pd = 1e2 * E_mod * h_th / h_el
+    pr = 1e2 * E_mod * h_th ** 3 / h_el
+
+    t0 = time.time()
+    # nested level sizes: (n, 2n, 2n+4) halves exactly to (n/2, n, n+2)
+    sizes = []
+    n = nel
+    while n >= 16:
+        sizes.append((n, 2 * n, 2 * n + 4))
+        if n % 2 != 0:
+            break
+        n //= 2
+    splines, couplings = [], []
+    for (nx, nay, nby) in sizes:
+        sp = build(nx, nay, nby)
+        splines.append(sp)
+        couplings.append(ShellInterfaceCoupling(
+            sp, 0, (0, 1), 1, (0, 0), penalty_disp=pd, penalty_rot=pr))
+    spline, coupling = splines[0], couplings[0]
+    log(f"two-patch preprocess: {time.time() - t0:.1f}s; "
+        f"ndof={spline.ndof}, levels={sizes}")
+
+    def res_adj(ctx, u):
+        F = svk_shell_adjoint(ctx, u, E_mod, nu, h_th)
+        return F._replace(val=F.val.at[2].add(-q))
+
+    ccache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          ".tigar_cache",
+                          f"bench_tp_coarse_{nel}_p{p}_{E_mod:g}_{nu:g}_"
+                          f"{h_th:g}_{pd:g}_{pr:g}.npz")
+    polish_res_dev = os.environ.get("BENCH_POLISH_RES_DEV", "cpu")
+    t0 = time.time()
+    ns = MultiPatchStencilNewton(
+        spline, res_adj, coupling, mg_splines=splines[1:],
+        mg_couplings=couplings[1:],
+        cg_iters=int(os.environ.get("BENCH_CG_ITERS", "15")),
+        polish_cg_iters=40, setup_log=log, coarse_cache=ccache,
+        polish_tangent="f64", polish_residual_device=polish_res_dev,
+        build_quad_degree=2, rebuild_rel=0.1)
+    log(f"two-patch solver setup: {time.time() - t0:.1f}s")
+
+    step_s = _time_step(ns, spline, log, reps=2)
+    out = _solve_and_certify(ns, spline, polish_res_dev, log)
+    out.update({
+        "ndof": spline.ndof,
+        "nel": sum(nx * nay + nx * nby for nx, nay, nby in sizes[:1]),
+        "patches": 2,
+        "interface": "non-matching, displacement+rotation penalty "
+                     f"(pd={pd:g}, pr={pr:g})",
+        "newton_step_ms": step_s * 1e3,
+        "newton_step_dof_per_s": spline.ndof / step_s,
+        "vs_baseline": ref_step_seconds(spline.ndof) / step_s,
+    })
+    log(f"two-patch: step {step_s * 1e3:.1f} ms "
+        f"({spline.ndof / step_s:.3e} DoF/s), solve "
+        f"{out['full_solve_s']:.1f}s/{out['full_solve_steps']} steps, "
+        f"floor_certified={out['f64_floor_certified']}")
+    return out
+
+
+def _build_solver(nel, log):
+    """Build the KL-shell spline hierarchy + production StencilNewton at
+    one size (options identical at every size except the measured
+    cast-vs-f64 polish-tangent switch)."""
+    import os
+    import time
 
     from tigar_tpu.ops.knots import uniform_knots
     from tigar_tpu.models.bspline import ExplicitBSplineControlMesh
@@ -95,8 +278,6 @@ def main():
                                         svk_shell_adjoint)
     from tigar_tpu.solvers.newton_stencil import StencilNewton
 
-    log("devices:", jax.devices())
-    nel = int(os.environ.get("BENCH_NEL", "128"))
     p = 2
 
     def build(n):
@@ -179,6 +360,31 @@ def main():
     log(f"solver setup (coarse stencils on "
         f"{os.environ.get('TIGAR_COARSE_BACKEND', 'device')}): "
         f"{time.time() - t0:.1f}s")
+    return spline, ns, dict(mg_sizes=mg_sizes, q=q, cg_iters=cg_iters,
+                            polish_res_dev=polish_res_dev)
+
+
+def main():
+    T0 = time.time()
+    import jax
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    have_cache = os.path.isdir(cache_dir)
+    n_cache0 = len(os.listdir(cache_dir)) if have_cache else 0
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"persistent cache: {'present' if have_cache else 'COLD'} "
+        f"({n_cache0} entries)")
+    import jax.numpy as jnp
+
+    log("devices:", jax.devices())
+    nel = int(os.environ.get("BENCH_NEL", "128"))
+
+    spline, ns, info = _build_solver(nel, log)
+    mg_sizes = info["mg_sizes"]
+    q = info["q"]
+    cg_iters = info["cg_iters"]
+    polish_res_dev = info["polish_res_dev"]
     if os.environ.get("BENCH_SETUP_ONLY"):
         return
 
@@ -224,18 +430,7 @@ def main():
         f"({spline.ndof / dt64:.3e} DoF/s)")
 
     # ---- production Newton step (HEADLINE) ----------------------------------
-    U = jnp.zeros(spline.ndof, dtype=spline.dtype)
-    t0 = time.time()
-    U1, rn, _dU = ns.step(U)
-    _ = (float(rn), float(jnp.vdot(U1, U1)))
-    log(f"newton step compile+first: {time.time() - t0:.1f}s")
-    best_step = np.inf
-    Ui = U1
-    for _ in range(3):
-        t0 = time.time()
-        Ui, rn, _dU = ns.step(Ui)
-        _ = float(jnp.vdot(Ui, Ui))   # fetch forces the whole chain
-        best_step = min(best_step, time.time() - t0)
+    best_step = _time_step(ns, spline, log, reps=3)
     step_dof_s = spline.ndof / best_step
     t_ref = ref_step_seconds(spline.ndof)
     vsb = t_ref / best_step
@@ -259,31 +454,50 @@ def main():
     # the coarse stage's own f64 polish steps cost more than the fine
     # transient they skip; chord-only coarse stages stall at q=100).
     use_nested = os.environ.get("BENCH_NESTED", "0") == "1"
-    t0 = time.time()
-    if use_nested:
-        Usol, rel64, nsteps, dU_rel = ns.solve_nested(rtol=1e-10, log=log)
-    else:
-        Usol, rel64, nsteps, dU_rel = ns.solve(rtol=1e-10, log=log)
-    t_solve = time.time() - t0
-    r0_64 = float(jnp.linalg.norm(ns._res(ns.asm64, ns.mask64,
-                                          jnp.zeros_like(Usol))))
-    # the cross-check evaluation must come from the OTHER f64
-    # implementation than the one the solve's own residuals used: host
-    # CPU native IEEE f64 vs TPU emulated f64
-    if polish_res_dev == "cpu":
-        cpu_rel = ns.true_rel_residual(Usol, r0_64)   # TPU-emulated
-    else:
-        cpu_rel = ns.cpu_true_residual(Usol) / r0_64  # CPU native
-    log(f"full solve: {t_solve:.2f}s, {nsteps} steps, "
-        f"final f64 rel |r| = {rel64:.3e}, |dU|/|U| = {dU_rel:.2e}, "
-        f"cross-backend true-f64 rel = {cpu_rel:.3e} "
-        f"(polish residuals on {polish_res_dev})")
-    # the floor certificate needs BOTH signatures: TPU and true-IEEE CPU
-    # evaluations agreeing (at a non-floor state they agree trivially) AND
-    # a collapsed Newton increment (only true at the roundoff floor)
-    floor_certified = bool(rel64 <= 3.0 * max(cpu_rel, 1e-16)
-                           and rel64 <= 1e-8 and dU_rel <= 1e-10)
-    f64_ok = bool(rel64 <= 1e-10) or floor_certified
+    solve_out = _solve_and_certify(ns, spline, polish_res_dev, log,
+                                   use_nested=use_nested)
+    t_solve = solve_out["full_solve_s"]
+    nsteps = solve_out["full_solve_steps"]
+    rel64 = solve_out["f64_rel_residual"]
+    dU_rel = solve_out["f64_dU_rel"]
+    cpu_rel = solve_out["cross_backend_true_f64_rel_residual"]
+    floor_certified = solve_out["f64_floor_certified"]
+    f64_ok = solve_out["f64_accurate"]
+
+    # ---- scaling sweep (round-4 VERDICT item 4a): carry the larger-size
+    # full-solve + step point in the SAME artifact.  Default: one 256^2
+    # point (199k DoFs) when the headline ran at its default 128^2.
+    sweep = []
+    sweep_nels = os.environ.get("BENCH_SWEEP",
+                                "256" if nel == 128 else "")
+    for s_nel in [int(x) for x in sweep_nels.split(",") if x.strip()]:
+        if s_nel == nel:
+            continue
+        log(f"--- sweep size {s_nel}^2 ---")
+        sp_s, ns_s, info_s = _build_solver(s_nel, log)
+        step_s = _time_step(ns_s, sp_s, log, reps=2)
+        out_s = _solve_and_certify(ns_s, sp_s, info_s["polish_res_dev"],
+                                   log)
+        out_s.update({
+            "nel": s_nel * s_nel,
+            "ndof": sp_s.ndof,
+            "newton_step_ms": step_s * 1e3,
+            "newton_step_dof_per_s": sp_s.ndof / step_s,
+            "vs_baseline": ref_step_seconds(sp_s.ndof) / step_s,
+        })
+        log(f"sweep {s_nel}^2: step {step_s * 1e3:.1f} ms "
+            f"({sp_s.ndof / step_s:.3e} DoF/s), solve "
+            f"{out_s['full_solve_s']:.1f}s, floor_certified="
+            f"{out_s['f64_floor_certified']}")
+        sweep.append(out_s)
+        del sp_s, ns_s
+
+    # ---- coupled two-patch production solve (round-4 VERDICT item 2) --------
+    two_patch = None
+    if os.environ.get("BENCH_TWO_PATCH",
+                      "1" if nel == 128 else "0") == "1":
+        log("--- coupled two-patch shell ---")
+        two_patch = _two_patch_point(log)
 
     n_cache1 = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0
     log(f"persistent cache: {n_cache1 - n_cache0} new entries "
@@ -317,6 +531,8 @@ def main():
             "residual_assembly_f64_ms": dt64 * 1e3,
             "mg_levels": [nel] + mg_sizes,
             "cg_iters": cg_iters,
+            "sweep": sweep,
+            "two_patch": two_patch,
             "cache_new_entries": n_cache1 - n_cache0,
             "timing": "dependent jitted dispatch chains + host value "
                       "fetch (bench.py docstring; scan-fused harness "
