@@ -29,30 +29,136 @@ from .bspline import ScalarBasis, ControlMesh
 
 
 def _parse_tspline_file(fname):
+    """Parse a Rhino T-spline plugin Bezier-extraction export.
+
+    ACCEPTED GRAMMAR (round-4 hardening; the exact behavioral superset of
+    the reference reader, RhinoTSplines.py:78-111, 258-277, which consumed
+    genuine plugin exports):
+
+      - Unix (\\n) or Windows (\\r\\n) line endings; leading/trailing
+        whitespace per line and blank lines ANYWHERE are ignored (blank
+        lines carry no semantics in this format -- every data line has at
+        least one token).
+      - line 0: header, arbitrary content (ignored).
+      - line 1: ``<tag> ncp``   -- token 1 is the control-point count.
+      - line 2: ``<tag> nelBez`` -- token 1 is the Bezier element count.
+        Tag tokens are arbitrary non-whitespace (the reference ignores
+        them); extra tokens after the consumed ones are ignored.
+      - control points: ncp lines ``<tag> x y z w`` (coordinates NOT
+        premultiplied by the rational weight w; w must be > 0).  Two
+        documented offsets exist: "files directly from rhino" start the
+        control points immediately (RhinoTSplines.py:88 'true format'),
+        the "manually-modified format" carries ONE extra header line
+        first (the reference's commented-out ``lineCounter = 4+ncp`` /
+        ``ii = i + 4`` variant); both are auto-detected here by whether
+        the first candidate line parses as ``<tag> + 4 floats``.
+      - per element (nelBez times):
+          ``<tag> nshl``                         (supported-function count)
+          one line of exactly nshl integer node indices in [0, ncp)
+          nshl lines of exactly 16 extraction coefficients (floats),
+            expressing each function in the bi-cubic Bernstein basis.
+        nshl may differ per element (ragged T-junction/star topology).
+      - content after the last element is ignored (the reference's
+        "TODO: read in BC info" tail).
+
+    Violations raise ValueError naming the 1-based source line.  Returns
+    (bnet [ncp, 4] HOMOGENIZED (w*x, w), nodes_list, ops_list).
+    """
     with open(fname) as f:
-        lines = f.read().split("\n")
-    ncp = int(lines[1].split()[1])
-    nel = int(lines[2].split()[1])
+        raw = f.read()
+    lines, lineno = [], []
+    for i, ln in enumerate(raw.split("\n")):
+        ln = ln.strip()
+        if ln:
+            lines.append(ln)
+            lineno.append(i + 1)
+
+    def fail(k, msg):
+        where = lineno[k] if k < len(lineno) else "<eof>"
+        got = f" (line: {lines[k]!r})" if k < len(lines) else ""
+        raise ValueError(f"{fname}:{where}: {msg}{got}")
+
+    def intfield(k, what):
+        if k >= len(lines):
+            fail(k, f"unexpected end of file reading {what}")
+        toks = lines[k].split()
+        if len(toks) < 2:
+            fail(k, f"expected '<tag> {what}'")
+        try:
+            return int(toks[1])
+        except ValueError:
+            fail(k, f"{what} {toks[1]!r} is not an integer")
+
+    if len(lines) < 3:
+        raise ValueError(f"{fname}: not a T-spline extraction file "
+                         f"(fewer than 3 non-blank lines)")
+    ncp = intfield(1, "ncp")
+    nel = intfield(2, "nelBez")
+    if ncp <= 0:
+        fail(1, f"ncp must be positive, got {ncp}")
+    if nel <= 0:
+        fail(2, f"nelBez must be positive, got {nel}")
+
+    def try_cp(k):
+        if k >= len(lines):
+            return None
+        toks = lines[k].split()
+        if len(toks) < 5:
+            return None
+        try:
+            return [float(s) for s in toks[1:5]]
+        except ValueError:
+            return None
+
+    lc = 3
+    if try_cp(lc) is None and try_cp(lc + 1) is not None:
+        lc += 1          # manually-modified format: one extra header line
     # control points (homogenized here, RhinoTSplines.py:274-277)
     bnet = np.zeros((ncp, 4))
     for i in range(ncp):
-        vals = [float(s) for s in lines[3 + i].split()[1:5]]
+        vals = try_cp(lc + i)
+        if vals is None:
+            fail(lc + i, f"expected control point {i} as '<tag> x y z w'")
         w = vals[3]
+        if not w > 0.0:
+            fail(lc + i, f"nonpositive rational weight {w!r}")
         bnet[i, :3] = np.asarray(vals[:3]) * w
         bnet[i, 3] = w
-    lc = 3 + ncp
+    lc += ncp
     nodes_list = []
     ops_list = []
-    for _ in range(nel):
-        nshl = int(lines[lc].split()[1])
-        nodes = np.asarray([int(s) for s in lines[lc + 1].split()],
-                           dtype=np.int64)
-        C = np.asarray([[float(s) for s in lines[lc + 2 + j].split()]
-                        for j in range(nshl)])
-        if C.shape != (nshl, 16):
-            raise ValueError("malformed extraction operator")
+    for e in range(nel):
+        nshl = intfield(lc, f"nshl of element {e}")
+        if nshl <= 0:
+            fail(lc, f"element {e}: nshl must be positive, got {nshl}")
+        if lc + 1 >= len(lines):
+            fail(lc + 1, f"element {e}: missing node-index line")
+        try:
+            nodes = np.asarray([int(s) for s in lines[lc + 1].split()],
+                               dtype=np.int64)
+        except ValueError:
+            fail(lc + 1, f"element {e}: non-integer node index")
+        if nodes.size != nshl:
+            fail(lc + 1, f"element {e}: expected {nshl} node indices, "
+                         f"got {nodes.size}")
+        if int(nodes.min()) < 0 or int(nodes.max()) >= ncp:
+            fail(lc + 1, f"element {e}: node index out of range "
+                         f"[0, {ncp})")
+        rows = []
+        for j in range(nshl):
+            k = lc + 2 + j
+            if k >= len(lines):
+                fail(k, f"element {e}: missing extraction row {j}")
+            try:
+                row = [float(s) for s in lines[k].split()]
+            except ValueError:
+                fail(k, f"element {e}: non-numeric extraction coefficient")
+            if len(row) != 16:
+                fail(k, f"element {e}: extraction row {j} has {len(row)} "
+                        f"coefficients, expected 16 (bi-cubic Bernstein)")
+            rows.append(row)
         nodes_list.append(nodes)
-        ops_list.append(C)
+        ops_list.append(np.asarray(rows))
         lc += nshl + 2
     return bnet, nodes_list, ops_list
 
