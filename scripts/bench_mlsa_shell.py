@@ -1,0 +1,146 @@
+"""Round-4 VERDICT item #3 evidence: MULTILEVEL smoothed aggregation on
+the star-T-spline KL-SHELL tangent (bending conditioning) at scale.
+
+Compares TwoLevelSA vs MultilevelSA preconditioned CG across >= 3
+refinements of the valence-3 extraordinary-point T-spline, on the second
+variation of the Kirchhoff-Love SVK shell energy at zero state (membrane
++ bending -- the operator class where two-level degrades with the
+fine/coarse gap and the old dense-P guard tripped).  Sizes via
+MLSA_NELS (default "32,64,96"); largest default ~1e5 DoFs.
+
+Usage: python scripts/bench_mlsa_shell.py   (CPU backend; prints one
+line per (size, method): ndof, levels, setup s, PCG iterations to 1e-8.)
+"""
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+import jax.numpy as jnp
+
+from tigar_tpu.models.tsplines import (make_star_extraction,
+                                       write_rhino_extraction,
+                                       RhinoTSplineControlMesh)
+from tigar_tpu.models.space import EqualOrderSpline
+from tigar_tpu.models.extracted import ExtractedSpline
+from tigar_tpu.models.shell import svk_psi_surface
+from tigar_tpu.forms import deriv
+from tigar_tpu.solvers.aggregation import TwoLevelSA, MultilevelSA
+
+E_MOD, NU, H_TH = 3.0e4, 0.3, 0.03
+
+
+def star_shell(nel):
+    bnet, nodes_list, ops_list = make_star_extraction(3, nel)
+    f = os.path.join(tempfile.mkdtemp(), "s.iga")
+    write_rhino_extraction(f, bnet, nodes_list, ops_list)
+    cm = RhinoTSplineControlMesh(f)
+    gen = EqualOrderSpline(3, cm)
+    # clamp the outer ring (2 layers equivalent: boundary ring only here;
+    # bending still dominates the interior conditioning)
+    bd = cm.scalar_basis().boundary_dofs(1)
+    for i in range(3):
+        gen.add_zero_dofs(i, bd)
+    return ExtractedSpline(gen, quad_degree=6, nders=2)
+
+
+def a_shell(ctx, u, v):
+    uu = ctx.rationalize(u)
+    vv = ctx.rationalize(v)
+
+    def g(s):
+        ys = jax.tree_util.tree_map(lambda a: s * a, uu)
+        return deriv(lambda y: svk_psi_surface(ctx, y, E_MOD, NU, H_TH),
+                     ys, vv)
+
+    return jax.grad(g)(0.0)
+
+
+def pcg_iters(M_sp, pre, b, tol=1e-8, maxiter=600):
+    x = jnp.zeros_like(b)
+    r = b
+    z = pre(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    nb = float(jnp.linalg.norm(b))
+    for k in range(1, maxiter + 1):
+        Ap = M_sp @ p
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        if float(jnp.linalg.norm(r)) <= tol * nb:
+            return k
+        z = pre(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+    return maxiter + 1
+
+
+def main():
+    nels = [int(s) for s in os.environ.get("MLSA_NELS",
+                                           "32,64,96").split(",")]
+    rng = np.random.default_rng(0)
+    for nel in nels:
+        t0 = time.time()
+        sp = star_shell(nel)
+        t_build = time.time() - t0
+        t0 = time.time()
+        M_sp = sp.assemble_sparse(a_shell)
+        M_sp = M_sp.sum_duplicates(nse=M_sp.nse)
+        t_asm = time.time() - t0
+        b = jnp.asarray(np.asarray(sp.mask)
+                        * rng.normal(size=sp.ndof))
+        print(f"nel={nel} ndof={sp.ndof} nnz={M_sp.nse} "
+              f"(space {t_build:.0f}s, assemble {t_asm:.0f}s)",
+              flush=True)
+
+        idx = np.asarray(M_sp.indices)
+        vals = np.asarray(M_sp.data, dtype=np.float64)
+        bnet = np.asarray(sp.bnet, dtype=np.float64)
+        pts = np.tile(bnet[:, :-1] / bnet[:, -1:], (3, 1))
+        m_h = np.asarray(sp.mask)
+        ncp = bnet.shape[0]
+        field_of = np.repeat(np.arange(3), ncp)
+
+        t0 = time.time()
+        # field-pure aggregation + the linear near-kernel are both
+        # REQUIRED on the bending tangent: without either, multilevel
+        # needs >600 PCG iterations at nel=32 where this setup needs ~53
+        prem = MultilevelSA.from_coo(idx[:, 0], idx[:, 1], vals,
+                                     sp.ndof, pts, m_h, coarsen=3.0,
+                                     coarse_size=800, field_of=field_of,
+                                     near_kernel="linear")
+        t_ml = time.time() - t0
+        im = pcg_iters(M_sp, prem, b)
+        print(f"  multilevel: {im} iters (setup {t_ml:.1f}s, "
+              f"levels={prem.level_sizes})", flush=True)
+
+        if os.environ.get("MLSA_SKIP_TWOLEVEL", "0") != "1":
+            from tigar_tpu.solvers.aggregation import (
+                control_point_aggregates)
+            labels = control_point_aggregates(sp, coarsen=3.0)
+            nagg = int(labels.max()) + 1
+            lbl_dof = np.concatenate([labels + f * nagg
+                                      for f in range(3)])
+            lbl_dof = np.where(m_h > 0, lbl_dof, -1)
+            t0 = time.time()
+            try:
+                pre2 = TwoLevelSA.from_coo(idx[:, 0], idx[:, 1], vals,
+                                           sp.ndof, lbl_dof, m_h)
+                t_2l = time.time() - t0
+                i2 = pcg_iters(M_sp, pre2, b)
+                print(f"  two-level:  {i2} iters (setup {t_2l:.1f}s, "
+                      f"nc={pre2.n_coarse})", flush=True)
+            except ValueError as e:
+                print(f"  two-level:  UNBUILDABLE ({e})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

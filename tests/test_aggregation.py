@@ -179,3 +179,40 @@ def test_control_point_aggregates_equal_order_only(tmp_path):
     spline = ExtractedSpline(sp, quad_degree=2 * p)
     with pytest.raises(ValueError, match="equal-order"):
         control_point_aggregates(spline)
+
+
+def test_multilevel_sa_matches_direct(tmp_path):
+    """sa_levels>2 (recursive MultilevelSA, round-4): the sa_cg public
+    path with a genuinely multilevel hierarchy reproduces the direct
+    solution on the extraordinary-point T-spline."""
+    a, L = _poisson_forms()
+    spline = _star_spline(tmp_path, nel=8, tag="ml")
+    U_dir = spline.solve_linear_variational_problem(a, rhs_form=L)
+    spline.set_solver_options(linear_solver="sa_cg", linear_tol=1e-12,
+                              linear_max_iter=400, sa_levels=4,
+                              sa_coarse_size=8)
+    U_ml = spline.solve_linear_variational_problem(a, rhs_form=L)
+    err = float(jnp.max(jnp.abs(U_ml - U_dir)) / jnp.max(jnp.abs(U_dir)))
+    assert err < 1e-8, err
+    # the cached preconditioner really is multilevel with sparse P
+    from tigar_tpu.solvers.aggregation import MultilevelSA
+    (pre, _), = [v for _, v in spline._sa_cache.values()]
+    assert isinstance(pre, MultilevelSA)
+    assert pre.n_levels >= 3, pre.level_sizes
+
+
+def test_multilevel_sa_near_flat_iterations(tmp_path):
+    """Multilevel SA-PCG iteration counts stay near-flat across three
+    star-T-spline refinements while every hierarchy is >= 3 levels
+    (sparse prolongations, re-aggregated coarse operators)."""
+    from tigar_tpu.solvers.aggregation import MultilevelSA
+    a, L = _poisson_forms()
+    iters = []
+    for nel in (8, 16, 32):
+        sp = _star_spline(tmp_path, nel, tag=f"mls{nel}")
+        pre, M_sp = MultilevelSA.from_spline(sp, a, coarse_size=8)
+        assert pre.n_levels >= 3, pre.level_sizes
+        b = sp.assemble_vector(L)
+        iters.append(_pcg_iters(lambda W: M_sp @ W, b, pre, tol=1e-8))
+    # near-flat: no worse than 35% growth over a 16x DoF range
+    assert iters[-1] <= 1.35 * iters[0] + 1, iters

@@ -148,6 +148,8 @@ class ExtractedSpline:
         self.sa_coarsen = 3.0           # aggregate size for "sa_cg"
         self.sa_smooth = 2
         self.sa_omega_P = 0.66
+        self.sa_levels = 2              # >2: recursive MultilevelSA
+        self.sa_coarse_size = 800       # dense-factor threshold (multilevel)
         self._sa_cache = {}
         self._asm_cast_cache = {}
 
@@ -161,7 +163,8 @@ class ExtractedSpline:
                            linear_max_iter=None, dense_threshold=None,
                            mg_levels=None, mg_smooth=None, mg_omega=None,
                            mg_dtype=None, sa_coarsen=None, sa_smooth=None,
-                           sa_omega_P=None):
+                           sa_omega_P=None, sa_levels=None,
+                           sa_coarse_size=None):
         if max_iters is not None:
             self.max_iters = max_iters
         if relative_tolerance is not None:
@@ -201,6 +204,18 @@ class ExtractedSpline:
             self._sa_cache = {}
         if sa_omega_P is not None:
             self.sa_omega_P = float(sa_omega_P)
+            self._sa_cache = {}
+        if sa_levels is not None:
+            # total SA level count for linear_solver="sa_cg": 2 = the
+            # classic two-level cycle; >2 = recursive multilevel smoothed
+            # aggregation (solvers/aggregation.MultilevelSA -- sparse
+            # prolongations, re-aggregated Galerkin coarse operators,
+            # GAMG-class scaling for 10^5+ unstructured DoFs)
+            self.sa_levels = int(sa_levels)
+            self._sa_cache = {}
+        if sa_coarse_size is not None:
+            # coarsest-level dense-factor threshold for the multilevel path
+            self.sa_coarse_size = int(sa_coarse_size)
             self._sa_cache = {}
 
     # -- tabulation / assembler construction ------------------------------------
@@ -659,7 +674,7 @@ class ExtractedSpline:
             # BCOO tangent is assembled once and reused for the Krylov
             # matvecs; the preconditioner is cached per (form, params)
             # like the mg_cg V-cycle (built at the first call's state).
-            from ..solvers.aggregation import TwoLevelSA
+            from ..solvers.aggregation import MultilevelSA, TwoLevelSA
             fkey, _, _ = self._form_key(form)
             if params is None:
                 pkey = None
@@ -670,6 +685,14 @@ class ExtractedSpline:
             cached = self._sa_cache.get((fkey, apply_bcs))
             if cached is not None and cached[0] == pkey:
                 pre, M_sp = cached[1]
+            elif self.sa_levels > 2:
+                pre, M_sp = MultilevelSA.from_spline(
+                    self, form, U=U, params=params,
+                    coarsen=self.sa_coarsen, omega_P=self.sa_omega_P,
+                    n_smooth=self.sa_smooth, apply_bcs=apply_bcs,
+                    coarse_size=self.sa_coarse_size,
+                    max_levels=self.sa_levels - 1)
+                self._sa_cache[(fkey, apply_bcs)] = (pkey, (pre, M_sp))
             else:
                 pre, M_sp = TwoLevelSA.from_spline(
                     self, form, U=U, params=params,
