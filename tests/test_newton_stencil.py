@@ -212,3 +212,52 @@ def test_polish_residual_device_cpu():
 
     Uc, rel, nit, _ = ns.solve(rtol=1e-9)
     assert rel < 1e-9, (rel, nit)
+
+
+def test_overshoot_reject_rolls_back_to_good_state():
+    """overshoot_reject must roll back to the LAST GOOD state -- the
+    input of the PREVIOUS iteration, because step residuals are measured
+    at each step's INPUT and therefore arrive one iteration late -- and
+    finish in the f64 polish from there (round-4: the one-state-late
+    rollback restored the penalty-noise-corrupted state itself and the
+    polish stalled at rel 3e3 on the coupled two-patch bench).  Forced
+    deterministically by poisoning the first f32 step."""
+    spline = _build(8)
+    ns = StencilNewton(spline, _res_adj, mg_splines=[_build(4)],
+                       cg_iters=40)
+    U_ref, rel_ref, _, _ = ns.solve(rtol=1e-9)
+    assert rel_ref < 1e-9
+
+    ns2 = StencilNewton(spline, _res_adj, mg_splines=[_build(4)],
+                        cg_iters=40)
+    real_step = ns2.step
+    calls = {"n": 0}
+
+    def poisoned(U, st=None):
+        Un, rn, dU = real_step(U, st=st)
+        calls["n"] += 1
+        if calls["n"] == 1:   # a garbage f32 step (masked: BCs stay 0)
+            return Un + 1e3 * ns2.mask64.astype(Un.dtype), rn, dU
+        return Un, rn, dU
+
+    ns2.step = poisoned
+    logs = []
+    U, rel, nit, _ = ns2.solve(rtol=1e-9, log=logs.append)
+    assert any("REJECTED" in s for s in logs), logs
+    assert rel < 1e-9, (rel, nit)
+    err = float(jnp.max(jnp.abs(U - U_ref)) / jnp.max(jnp.abs(U_ref)))
+    assert err < 1e-8, err
+
+
+def test_start_polish_solve_from_zero():
+    """start_polish=True (the production path for penalty-coupled
+    problems whose f32 phase is noise-bound) must converge the full
+    solve from zero without any f32 production step."""
+    spline = _build(8)
+    ns = StencilNewton(spline, _res_adj, mg_splines=[_build(4)],
+                       cg_iters=40)
+    logs = []
+    U, rel, nit, _ = ns.solve(rtol=1e-9, start_polish=True,
+                              log=logs.append)
+    assert rel < 1e-9, (rel, nit)
+    assert all("(f32)" not in s for s in logs), logs

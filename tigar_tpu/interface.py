@@ -497,12 +497,24 @@ class InterfaceForm:
                            nu=self.nu, surfJ=self.surfJ)
 
     def energy(self, U, params=None):
-        p = self.params if params is None else params
-        ua = self._jets(U, self.side_a)
-        ub = self._jets(U, self.side_b)
-        dens = jax.vmap(self.density, in_axes=(0, 0, 0, None))(
-            ua, ub, self._qp(), p)
-        return jnp.sum(self.wq * dens)
+        # pinned true-f32 contractions: interface energies mix scales
+        # (penalty pd ~ 1e9 displacement terms vs pr ~ 1e6 rotation
+        # terms in the SAME pointwise density), so on TPU the default
+        # bf16 MXU passes put eps_bf16 * pd absolute noise on the
+        # smaller-scale terms -- in f32 tangent blocks that noise
+        # EXCEEDS the rotation/bending-scale entries entirely and the
+        # assembled K32 goes indefinite (measured on the chip: the f32
+        # V-cycle preconditioner built from it de-SPDs and the mixed
+        # FCG polish leaves a 40x linear residual; CPU IEEE-f32 twin
+        # 1.05).  The jets/density ops are tiny per-point dots; true-f32
+        # passes cost nothing measurable.
+        with jax.default_matmul_precision("highest"):
+            p = self.params if params is None else params
+            ua = self._jets(U, self.side_a)
+            ub = self._jets(U, self.side_b)
+            dens = jax.vmap(self.density, in_axes=(0, 0, 0, None))(
+                ua, ub, self._qp(), p)
+            return jnp.sum(self.wq * dens)
 
     def jump_norm(self, U):
         """L2 norm of the interface value jump (diagnostic)."""
@@ -614,8 +626,12 @@ def _iform_tangent_block(form, u_sub, pos_a, pos_b, params):
 
         return cols, jax.hessian(f)(z0)
 
-    cols, E = jax.vmap(point)(pos_a, pos_b, form.side_a, form.side_b,
-                              qp, form.wq)
+    # pinned true-f32: see InterfaceForm.energy -- bf16 MXU passes on the
+    # mixed-scale (pd/pr) per-point Hessians make the f32 block
+    # indefinite, which breaks the Schwarz-smoothed V-cycle outright.
+    with jax.default_matmul_precision("highest"):
+        cols, E = jax.vmap(point)(pos_a, pos_b, form.side_a, form.side_b,
+                                  qp, form.wq)
     K = jnp.zeros((m, m), dtype=u_sub.dtype)
     return K.at[cols[:, :, None], cols[:, None, :]].add(E)
 

@@ -165,7 +165,13 @@ def make_stencil_mgcg(nlev, n_smooth=2, omega=0.7, n_iters=15):
 
     def vcycle(sts, masks, dinvs, Ps, coarse_inv, l, b):
         if l == nlev - 1:
-            return coarse_inv @ b
+            # pinned true-f32: on TPU f32 matmuls default to bf16 MXU
+            # passes, and a penalty-scaled coarse operator (multipatch
+            # interface blocks, pd ~ 1e9) makes the bf16-pass coarse
+            # correction wrong enough to de-SPD the V-cycle.  [m, m] @
+            # [m] at the coarsest level costs nothing measurable.
+            return jnp.matmul(coarse_inv, b,
+                              precision=jax.lax.Precision.HIGHEST)
         x = smooth(sts, masks, dinvs, l, b)
         r = b - action(sts, masks, l, x)
         rc = masks[l + 1] * Ps[l].down(r)
@@ -239,7 +245,9 @@ def make_stencil_mgcg_mixed(nlev, n_smooth=2, omega=0.7, n_iters=30):
 
     def vcycle(sts, masks, dinvs, Ps, coarse_inv, l, b):
         if l == nlev - 1:
-            return coarse_inv @ b
+            # pinned true-f32 (see make_stencil_mgcg.vcycle)
+            return jnp.matmul(coarse_inv, b,
+                              precision=jax.lax.Precision.HIGHEST)
         x = smooth(sts, masks, dinvs, l, b)
         r = b - action32(sts, masks, l, x)
         rc = masks[l + 1] * Ps[l].down(r)
@@ -866,7 +874,7 @@ class StencilNewton:
     def solve(self, U0=None, rtol=1e-10, switch_rel=3e-5, max_iters=40,
               log=None, log_true_residual=False, polish_sweeps=3,
               r0=None, f32_stencil=None, polish=True,
-              start_polish=False):
+              start_polish=False, overshoot_reject=1e3):
         """Full mixed-precision Newton solve: f32 production steps until
         the relative residual reaches ``switch_rel`` or stops halving
         (the f32 assembly's absolute noise floor), then f64-residual
@@ -886,7 +894,21 @@ class StencilNewton:
         begin directly in the f64 polish phase -- for initial guesses
         already below the f32 assembly noise floor (~2e-4 relative at
         128^2 shells), where an f32 production step would only re-inject
-        noise (nested iteration hands over such guesses)."""
+        noise (nested iteration hands over such guesses).
+        ``overshoot_reject``: an f32 step whose OUTPUT state (the step
+        residuals are measured at each step's INPUT, so the reading
+        arrives one iteration late) inflates the residual by MORE than
+        this factor is DISCARDED: the solve rolls back to the last state
+        with an acceptable MEASURED residual (the input of the previous
+        iteration) and enters the f64 polish from there.  Distinct from
+        the benign 29-55x membrane-stiffening overshoots (measured round
+        3: good polish starting states, kept): penalty-coupled
+        multipatch f32 steps can blow up 2e4x -- the inner f32 linear
+        solve's eps32*kappa attainable-accuracy floor leaves an
+        interface-jump error that the penalty (pd ~ 2e9) amplifies into
+        the residual -- and the rotation-penalty energy is nonconvex at
+        such states, so the f64 polish cannot recover from them
+        (measured: stuck at rel 3e3 WITH per-step tangent rebuilds)."""
         U = (jnp.zeros(self.spline.ndof, dtype=self.spline.dtype)
              if U0 is None else U0)
         r0 = None if r0 is None else float(r0)
@@ -896,6 +918,11 @@ class StencilNewton:
         polish_its = 0
         stalls = 0
         dU_rel = np.inf
+        U_good = U   # input of the last f32 step whose MEASURED residual
+        #              was acceptable (see overshoot_reject)
+        U_in_prev = U     # input of the previous POLISH step
+        dU_prev = None    # its increment (for catastrophic backtracking)
+        halvings = 0
         import time as _time
         for it in range(max_iters):
             _t_it = _time.time()
@@ -911,6 +938,7 @@ class StencilNewton:
                 # it in ~4 steps) while damping to enforce monotonicity
                 # creeps at ~0.95/step and never recovers.
                 rebuild = polish_its == 0 or prev_rel > self.rebuild_rel
+                U_in = U
                 U, rn, dU = self.polish_step(U, rebuild=rebuild,
                                              sweeps=polish_sweeps)
                 polish_its += 1
@@ -918,11 +946,51 @@ class StencilNewton:
                 dUn = float(jnp.linalg.norm(dU))
                 dU_rel = dUn / un if un > 0 else dUn
             else:
+                U_in = U
                 U, rn, _dU = self.step(U, st=f32_stencil)
             rn = float(rn)
             if r0 is None:
                 r0 = rn
             rel = rn / r0
+            if (phase64 and polish_its >= 3 and halvings < 12
+                    and np.isfinite(prev_rel)
+                    and rel > 10.0 * prev_rel and dU_prev is not None):
+                # CATASTROPHIC polish overshoot (measured one late: rn is
+                # at this step's INPUT = the previous polish step's
+                # output).  The FIRST polish step's transient overshoot
+                # is benign and exempt (polish_its >= 3; round-3 measured
+                # verdict on line search unchanged) -- but a LATER step
+                # growing >10x means the previous Newton step left the
+                # basin (penalty-coupled tangents at overshoot states are
+                # nonconvex; measured on the two-patch bench: 68 -> 3.6e3
+                # and a hard stall).  Backtrack: discard this step, halve
+                # the PREVIOUS increment, and re-enter from there.
+                dU_prev = 0.5 * dU_prev
+                U = U_in_prev - dU_prev
+                halvings += 1
+                if log:
+                    log(f"  newton it {it} (f64): rel |r| = {rel:.3e} "
+                        f"BACKTRACK (>10x growth); previous step halved "
+                        f"({halvings})")
+                continue
+            if phase64:
+                U_in_prev = U_in
+                dU_prev = dU
+            if (not phase64 and it > 0
+                    and rel > float(overshoot_reject) * prev_rel):
+                # rn was measured at this step's INPUT (= the previous
+                # step's output): that state is the bad one.  Roll back
+                # to the input of the previous iteration -- the last
+                # state whose measured residual was acceptable.
+                if log:
+                    log(f"  newton it {it} (f32): rel |r| = {rel:.3e} "
+                        f"REJECTED (>{overshoot_reject:g}x blowup); "
+                        "f64 polish resumes from the last good state")
+                U = U_good
+                phase64 = True
+                continue
+            if not phase64:
+                U_good = U_in
             if log:
                 log(f"  newton it {it} ({'f64' if phase64 else 'f32'}): "
                     f"rel |r| = {rel:.3e}"

@@ -80,10 +80,21 @@ class MultiPatchStencilOperator:
         return self.iface_Sinv is not None
 
     def schwarz(self, r, mask):
-        """Exact interface-subspace correction (f32 local solve)."""
+        """Exact interface-subspace correction (f32 local solve).
+
+        iface_Sinv is a HOST-f64 inverse cast to f32 (see
+        MultiPatchStencilNewton._mp_build: the on-device f32 LU's bf16
+        internal passes corrupt it beyond Newton-Schulz repair on this
+        penalty-dominated block).  precision=HIGHEST on the apply: the
+        block spans the penalty scales (pd ~ 2e9 displacement / pr ~ 2e6
+        rotation vs O(1e7) bending diagonal) and a bf16-pass correction
+        re-injects eps_bf16-relative noise on the stiffest rows.  The op
+        is [m, m] @ [m] with m ~ O(1e2-1e3); true-f32 passes cost
+        nothing measurable."""
         m_idx = mask[self.iface_idx]
         rs = (m_idx * r[self.iface_idx]).astype(self.iface_Sinv.dtype)
-        y = (self.iface_Sinv @ rs).astype(r.dtype)
+        y = jnp.matmul(self.iface_Sinv, rs,
+                       precision=jax.lax.Precision.HIGHEST).astype(r.dtype)
         return jnp.zeros_like(r).at[self.iface_idx].set(m_idx * y)
 
     @property
@@ -109,8 +120,13 @@ class MultiPatchStencilOperator:
         for p, st in enumerate(self.sts):
             out = self._scatter_patch(out, st(self._patch_block(U, p)), p)
         if self.iface_K is not None:
-            out = out.at[self.iface_idx].add(self.iface_K
-                                             @ U[self.iface_idx])
+            # precision=HIGHEST: penalty-scaled block (see schwarz());
+            # bf16 MXU passes put ~4e-3 relative noise on pd~2e9 entries,
+            # which the f32 production CG and V-cycle smoothing residuals
+            # cannot tolerate.  [m, m] @ [m], cost immeasurable.
+            out = out.at[self.iface_idx].add(jnp.matmul(
+                self.iface_K, U[self.iface_idx],
+                precision=jax.lax.Precision.HIGHEST))
         return out
 
     def diagonal(self):
@@ -334,6 +350,16 @@ class MultiPatchStencilNewton(StencilNewton):
             return asm_.element_matrices_adjoint(adjoint, U)
 
         def _mp_build(asm_, U, cpl, idxpos, mask, b, foff, doff):
+            """Returns (op WITHOUT iface_Sinv, S): the dense inverse of
+            the BC'd local interface operator S is computed OUTSIDE the
+            jit on the HOST in f64 (_host_sinv) -- jnp.linalg.inv's f32
+            LU runs bf16 MXU passes on TPU, and on this penalty-dominated
+            S (kappa >= pd/pr ~ 1e3, and much worse against the bending
+            diagonal) the bf16 inverse error eps_bf16*kappa is O(1)+:
+            Newton-Schulz cannot recover it (it needs |I - S Sinv| < 1)
+            and the corrupted Schwarz correction de-SPDs the V-cycle --
+            measured on the chip: the mixed FCG polish step LEAVES a 40x
+            linear residual (CPU IEEE twin: 1.05) and Newton diverges."""
             E = _elem_mats(asm_, U)
             sts = []
             e0 = 0
@@ -344,8 +370,7 @@ class MultiPatchStencilNewton(StencilNewton):
             idx, pos_a, pos_b = idxpos
             K = _iform_tangent_block(cpl, U[idx], pos_a, pos_b, cpl.params)
             op = MultiPatchStencilOperator(sts, idx, K, foff, doff, nf)
-            # BC'd local interface operator -> dense f32 inverse for the
-            # Schwarz smoother (patch-diagonal at idx + full K)
+            # BC'd local interface operator (patch-diagonal at idx + K)
             d_patch = (op.diagonal() - jnp.zeros(op.ndof,
                                                  dtype=K.dtype)
                        .at[idx].add(jnp.diagonal(K)))[idx]
@@ -353,9 +378,16 @@ class MultiPatchStencilNewton(StencilNewton):
             S = K + jnp.diag(d_patch)
             S = (m_idx[:, None] * S * m_idx[None, :]
                  + jnp.diag(1.0 - m_idx))
-            Sinv = jnp.linalg.inv(S.astype(jnp.float32))
-            op.iface_Sinv = Sinv
-            return op
+            return op, S
+
+        def _host_sinv(S):
+            """Exact f64 host inverse of the local interface operator,
+            cast to the f32 the Schwarz preconditioner stores.  One
+            [m, m] fetch + host LU per tangent rebuild (m ~ O(1e2-1e3));
+            jnp.asarray keeps the result UNCOMMITTED so downstream jits
+            still hit the persistent cache (round-3 lesson)."""
+            Sh = np.asarray(S, dtype=np.float64)
+            return jnp.asarray(np.linalg.inv(Sh).astype(np.float32))
 
         idxpos_f = coupling.support_positions()
 
@@ -365,10 +397,21 @@ class MultiPatchStencilNewton(StencilNewton):
                              doff_f)
 
         self._build_mp = build_fine
-        self._build = lambda asm_, U: build_fine(
-            asm_, U, self._c64 if U.dtype == jnp.float64 else self._c32,
-            idxpos_f,
-            self.mask64 if U.dtype == jnp.float64 else self.mask32)
+
+        def _build(asm_, U):
+            f64 = U.dtype == jnp.float64
+            op, S = build_fine(asm_, U,
+                               self._c64 if f64 else self._c32,
+                               idxpos_f,
+                               self.mask64 if f64 else self.mask32)
+            # the Schwarz inverse is preconditioner-only (always f32 and
+            # only ever applied through the f32 V-cycle): f64 operator
+            # builds never smooth, so skip the host round trip for them
+            if not f64:
+                op.iface_Sinv = _host_sinv(S)
+            return op
+
+        self._build = _build
 
         @jax.jit
         def res(asm_, mask, U, cpl):
@@ -418,8 +461,14 @@ class MultiPatchStencilNewton(StencilNewton):
                     cached = {k: z[k] for k in z.files}
             except Exception:
                 cached = None
+        # v3: caches written before the bf16-MXU precision fix carry a
+        # corrupted iface_Sinv (built by an f32 LU whose internal matmuls
+        # ran as bf16 passes on the TPU; see _mp_build docstring);
+        # absent/older version keys force a rebuild with the host-f64
+        # inverse path.
         loaded = (cached is not None
-                  and int(cached.get("n", -1)) == len(self.mg_splines))
+                  and int(cached.get("n", -1)) == len(self.mg_splines)
+                  and int(cached.get("v", 1)) >= 4)
         coarse_sts, diags, masks = [], [], []
         dense_inv = None
         for i, (spl, cpl) in enumerate(zip(self.mg_splines,
@@ -444,10 +493,11 @@ class MultiPatchStencilNewton(StencilNewton):
                 build_c = jax.jit(
                     lambda a, U, c, ip, mk, b=b_c, fo=foff_c, do=doff_c:
                     _mp_build(a, U, c, ip, mk, b, fo, do))
-                op = build_c(asm_c,
-                             jnp.zeros(spl.ndof, dtype=jnp.float32),
-                             cpl32, idxpos_c,
-                             spl.mask.astype(jnp.float32))
+                op, S_c = build_c(asm_c,
+                                  jnp.zeros(spl.ndof, dtype=jnp.float32),
+                                  cpl32, idxpos_c,
+                                  spl.mask.astype(jnp.float32))
+                op.iface_Sinv = _host_sinv(S_c)
             m_h = np.asarray(spl.mask, dtype=np.float64)
             d = np.asarray(op.diagonal())
             d = m_h * d + (1.0 - m_h)
@@ -472,6 +522,7 @@ class MultiPatchStencilNewton(StencilNewton):
                           f"{_time.time() - _t0:.1f}s")
         if coarse_cache and not loaded and self.mg_splines:
             payload = {"n": np.asarray(len(self.mg_splines)),
+                       "v": np.asarray(4),
                        "inv": np.asarray(dense_inv)}
             for i, op in enumerate(coarse_sts):
                 for p, st in enumerate(op.sts):
