@@ -67,7 +67,14 @@ def log(*a):
 
 
 def ref_step_seconds(ndof):
-    """Documented reference full-Newton-step model (see module docstring)."""
+    """Documented reference full-Newton-step model (see module docstring).
+
+    BOUNDED by measurement (round 4, scripts/bench_ref_model.py): a
+    same-machine single-core implementation of the same step (XLA:CPU
+    f64 residual 2.4e5 DoF/s, sparse tangent assembly, SuperLU) takes
+    43.3 s at 50.7k DoFs where this model grants the reference 3.54 s --
+    the model is generous by >= 12x (>= 4x on the LU term alone), so
+    vs_baseline values computed from it are lower bounds."""
     t_res = ndof / CPU_FENICS_ASSEMBLY_DOF_PER_S
     t_mat = 4.0 * t_res
     t_lu = 1.0 * (ndof / 50700.0) ** 1.5
