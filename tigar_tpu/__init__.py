@@ -54,5 +54,9 @@ from .solvers.multigrid import (Multigrid, coarsen_knots,  # noqa: F401
                                 insertion_matrix_1d)
 from .solvers.eigen import (generalized_eigh, smallest_modes,  # noqa: F401
                             lobpcg_smallest)
+from .solvers.newton_stencil import StencilNewton  # noqa: F401
+from .solvers.newton_stencil_mp import MultiPatchStencilNewton  # noqa: F401
+from .solvers.newton_sa import SANewton  # noqa: F401
+from .solvers.aggregation import TwoLevelSA, MultilevelSA  # noqa: F401
 
 __version__ = "0.1.0"

@@ -113,6 +113,47 @@ def cg_device_iters(action, b, n_iters, M=None, x0=None, tol=None,
     return x, r
 
 
+def fcg_device_iters(action, b, n_iters, M=None, x0=None, tol=None,
+                     check_every=20):
+    """FLEXIBLE preconditioned CG (Polak-Ribiere beta) as a python-level
+    device loop (the cg_device_iters dispatch discipline).
+
+    Required when ``M`` is a NOISY or slightly varying preconditioner --
+    an f32 multigrid/SA V-cycle inside an f64 recurrence: Fletcher-Reeves
+    PCG loses conjugacy under a varying M and STALLS at the
+    preconditioner's noise level (measured round 3 at 256^2 shells: 90 FR
+    iterations contract no better than 30), while the PR beta
+    re-orthogonalizes against the previous residual and restores
+    convergence.  Returns (x, r)."""
+    if M is None:
+        M = lambda r: r
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    x = x0
+    r = b - action(x)
+    z = M(r)
+    p = z
+    rz = jnp.vdot(r, z)
+    bnorm = float(jnp.linalg.norm(b)) if tol is not None else None
+    for it in range(int(n_iters)):
+        Ap = action(p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = jnp.where(pAp != 0.0, rz / pAp, 0.0)
+        x = x + alpha * p
+        r_new = r - alpha * Ap
+        z = M(r_new)
+        rz_new = jnp.vdot(r_new, z)
+        beta = jnp.where(rz != 0.0, jnp.vdot(r_new - r, z) / rz, 0.0)
+        beta = jnp.maximum(beta, 0.0)
+        p = z + beta * p
+        r = r_new
+        rz = rz_new
+        if (tol is not None and (it + 1) % int(check_every) == 0
+                and float(jnp.linalg.norm(r)) <= tol * bnorm):
+            break
+    return x, r
+
+
 def cg_state_init(action, M, b, x0):
     """Initial PCG state pytree for cg_step (shared by the fused
     fixed-iteration, python-level, and BLOCKED drivers)."""

@@ -976,6 +976,14 @@ class StencilNewton:
             if phase64:
                 U_in_prev = U_in
                 dU_prev = dU
+                if rel < prev_rel:
+                    # accepted contracting step: the halvings budget is
+                    # PER RECOVERY EVENT, not per solve -- one long
+                    # backtrack sequence (12 halvings were measured on a
+                    # nonsymmetric-tangent misuse) must not disable the
+                    # catastrophic-overshoot guard for later events
+                    # (unguarded, the next explosion ran straight to NaN)
+                    halvings = 0
             if (not phase64 and it > 0
                     and rel > float(overshoot_reject) * prev_rel):
                 # rn was measured at this step's INPUT (= the previous
@@ -1017,10 +1025,18 @@ class StencilNewton:
                 # the f64 EVALUATION floor: residual stops contracting
                 # AND the Newton increment has collapsed (near the floor
                 # dU is roundoff-driven, |dU|/|U| ~ 1e-11 and below;
-                # during slow transients it stays large)
+                # during slow transients it stays large).  BOTH branches
+                # require the collapsed increment: a stall count alone
+                # fires during long NON-MONOTONIC transients (measured on
+                # the two-patch bench: the membrane-stiffening recovery
+                # rises 68 -> 72 -> 136x over three steps with
+                # |dU|/|U| ~ 1e-1 before converging -- the old
+                # stalls>=3-only exit aborted there at rel 1.4e2;
+                # genuine non-convergence is bounded by max_iters)
                 stalls = stalls + 1 if rel > 0.9 * prev_rel else 0
-                if polish_its > 1 and (stalls >= 3 or (
-                        rel > 0.5 * prev_rel and dU_rel < 1e-9)):
+                if polish_its > 1 and dU_rel < 1e-6 and (
+                        stalls >= 3
+                        or (rel > 0.5 * prev_rel and dU_rel < 1e-9)):
                     return U, rel, it + 1, dU_rel
             elif rel <= switch_rel or (it > 0 and rel > 0.7 * prev_rel):
                 # f32 stopped halving: near switch_rel that is the f32
