@@ -592,6 +592,14 @@ class StencilNewton:
         d = st32.diagonal()
         d = self.mask32 * d + (1.0 - self.mask32)
         dinv = jnp.where(d != 0.0, 1.0 / d, jnp.ones_like(d))
+        # spectrum-safe Jacobi damping hook (multipatch solver): scales the
+        # fine level's effective omega to omega*scale = fac/lam_max(D^-1 A)
+        # when the measured Jacobi spectrum exceeds the stability limit
+        # 2/omega (anisotropic elements + penalty-interface rows; see
+        # newton_stencil_mp).  Absent/1.0 for single-patch instances.
+        scale = getattr(self, "_fine_omega_scale", 1.0)
+        if scale != 1.0:
+            dinv = scale * dinv
         sts = (st32,) + self._coarse_sts
         masks = (self.mask32,) + self._coarse_masks
         dinvs = (dinv,) + self._coarse_dinvs
@@ -764,6 +772,9 @@ class StencilNewton:
         d = st32.diagonal()
         d = self.mask32 * d + (1.0 - self.mask32)
         dinv = jnp.where(d != 0.0, 1.0 / d, jnp.ones_like(d))
+        scale = getattr(self, "_fine_omega_scale", 1.0)   # see _inner_solve
+        if scale != 1.0:
+            dinv = scale * dinv
         sts = (st32,) + self._coarse_sts
         masks = (self.mask32,) + self._coarse_masks
         dinvs = (dinv,) + self._coarse_dinvs
