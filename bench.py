@@ -49,7 +49,14 @@ dependent dispatch give the same honest timing at ~1/20 the program
 size, and the persistent compilation cache (.jax_cache) is logged below
 so cold/warm compile behavior is visible in the artifact.
 
-Prints ONE JSON line to stdout; diagnostics on stderr.
+Prints ONE COMPACT JSON line to stdout (round-5 VERDICT item #4: the
+round-4 line outgrew the driver's 2000-char tail window and clipped the
+headline fields out of the artifact).  The stdout line carries the
+headline metric/value/vs_baseline plus one-number summaries of the
+sweep / two-patch / T-spline points; the FULL per-point detail
+(certificates, phase timings, interface descriptions, cache stats) is
+written to BENCH_DETAILS.json next to this file and referenced by path.
+Diagnostics on stderr.
 """
 
 import json
@@ -155,17 +162,27 @@ def _solve_and_certify(ns, spline, polish_res_dev, log, use_nested=False,
 
 
 def _two_patch_point(log):
-    """Round-4 (VERDICT item #2) evidence: the PRODUCTION mixed-precision
-    solve on a COUPLED TWO-PATCH KL shell -- same plate, same material,
-    same load as the headline, but split at x=0 into two patches with a
-    NON-MATCHING interface (nel x 2nel vs nel x 2nel+4 elements), weakly
-    coupled by a displacement+rotation penalty
-    (coupling.ShellInterfaceCoupling).  Solver:
-    solvers/newton_stencil_mp.MultiPatchStencilNewton -- per-patch stencil
-    tangents + the exact dense interface block, per-patch MG transfers,
-    interface Schwarz smoothing, and the same f32-production /
-    f64-polish phases and evaluation-floor certificates as the
-    single-patch flagship."""
+    """Round-4/5 (VERDICT items #2/#1) evidence: the PRODUCTION
+    mixed-precision solve on a COUPLED TWO-PATCH KL shell -- same plate,
+    same material, same load as the headline, but split at x=0 into two
+    patches with a NON-MATCHING interface (nel x 2nel vs nel x 2nel+4
+    elements).  Solver: solvers/newton_stencil_mp.MultiPatchStencilNewton
+    -- per-patch stencil tangents + the exact dense interface block,
+    per-patch MG transfers, interface Schwarz smoothing, and the same
+    f32-production / f64-polish phases and evaluation-floor certificates
+    as the single-patch flagship.
+
+    COUPLING (round-5 default): the CONSISTENT symmetric Nitsche derived
+    automatically from the shell energy (interface.EnergyNitscheCoupling
+    on svk_psi_surface) at moderate stabilization beta_d ~ 10*(D/h^3 +
+    E*h/h), beta_r ~ 10*D/h -- ~7.5x below the round-4 displacement
+    penalty at nel=64.  This kills the penalty's O(1/beta) consistency
+    floor AND its roundoff amplification: the f32 production phase is
+    productive again (no start_polish) and the f64 polish reaches the
+    ~1e-9-class cross-backend floor with the TIGHT floor_rel guard
+    (penalty: floor 7.7e-8, floor_rel relaxed to 1e-6, f32 phase
+    abandoned).  BENCH_TP_COUPLING=penalty keeps the round-4 point
+    reproducible."""
     import os
     import time
     import numpy as np
@@ -178,14 +195,16 @@ def _two_patch_point(log):
     from tigar_tpu.models.space import EqualOrderSpline
     from tigar_tpu.models.extracted import ExtractedSpline
     from tigar_tpu.models.shell import (precompute_shell_reference,
-                                        svk_shell_adjoint)
+                                        svk_shell_adjoint, svk_psi_surface)
     from tigar_tpu.coupling import ShellInterfaceCoupling
+    from tigar_tpu.interface import EnergyNitscheCoupling
     from tigar_tpu.solvers.newton_stencil_mp import MultiPatchStencilNewton
 
     p = 2
     nel = int(os.environ.get("BENCH_TP_NEL", "64"))   # per patch along x
     E_mod, nu, h_th = 1.0e7, 0.3, 0.03
     q = float(os.environ.get("BENCH_Q", "100.0"))
+    kind = os.environ.get("BENCH_TP_COUPLING", "nitsche")
 
     def build(nx, nay, nby):
         pa = TensorBSplineBasis(
@@ -218,6 +237,24 @@ def _two_patch_point(log):
         return precompute_shell_reference(
             ExtractedSpline(gen, quad_degree=2 * p, nders=2))
 
+    def _shell_energy(ctx, u, params):
+        return svk_psi_surface(ctx, u, params["E"], params["nu"],
+                               params["h"])
+
+    def make_coupling(sp, nx):
+        h_el = 1.0 / nx
+        if kind == "penalty":
+            pd = 1e2 * E_mod * h_th / h_el
+            pr = 1e2 * E_mod * h_th ** 3 / h_el
+            return ShellInterfaceCoupling(
+                sp, 0, (0, 1), 1, (0, 0), penalty_disp=pd, penalty_rot=pr)
+        D = E_mod * h_th ** 3 / 12.0 / (1 - nu ** 2)
+        bd = 10.0 * (D / h_el ** 3 + E_mod * h_th / h_el)
+        br = 10.0 * D / h_el
+        return EnergyNitscheCoupling(
+            sp, 0, (0, 1), 1, (0, 0), _shell_energy, beta_d=bd, beta_r=br,
+            w_order=2, params={"E": E_mod, "nu": nu, "h": h_th})
+
     h_el = 1.0 / nel
     pd = 1e2 * E_mod * h_th / h_el
     pr = 1e2 * E_mod * h_th ** 3 / h_el
@@ -239,8 +276,7 @@ def _two_patch_point(log):
     for (nx, nay, nby) in sizes:
         sp = build(nx, nay, nby)
         splines.append(sp)
-        couplings.append(ShellInterfaceCoupling(
-            sp, 0, (0, 1), 1, (0, 0), penalty_disp=pd, penalty_rot=pr))
+        couplings.append(make_coupling(sp, nx))
     spline, coupling = splines[0], couplings[0]
     log(f"two-patch preprocess: {time.time() - t0:.1f}s; "
         f"ndof={spline.ndof}, levels={sizes}")
@@ -251,8 +287,8 @@ def _two_patch_point(log):
 
     ccache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           ".tigar_cache",
-                          f"bench_tp_coarse_{nel}_p{p}_{E_mod:g}_{nu:g}_"
-                          f"{h_th:g}_{pd:g}_{pr:g}.npz")
+                          f"bench_tp_coarse_{kind}_{nel}_p{p}_{E_mod:g}_"
+                          f"{nu:g}_{h_th:g}_{pd:g}_{pr:g}.npz")
     polish_res_dev = os.environ.get("BENCH_POLISH_RES_DEV", "cpu")
     t0 = time.time()
     ns = MultiPatchStencilNewton(
@@ -264,31 +300,25 @@ def _two_patch_point(log):
         build_quad_degree=2, rebuild_rel=0.1)
     log(f"two-patch solver setup: {time.time() - t0:.1f}s")
 
-    # The production two-patch solve is POLISH-FIRST (start_polish):
-    # the f32 production phase is noise-bound here -- the inner f32
-    # linear solve's eps32*kappa attainable-accuracy floor leaves an
-    # interface-jump error that the displacement penalty (pd ~ 2e9)
-    # amplifies into a rel ~2.9e3 residual after ONE step (measured on
-    # the chip WITH the true-f32 interface build of round 4 -- the
-    # pre-fix 2e4 figure was bf16 corruption; solve() would auto-reject
-    # that step and restart the polish from zero anyway, so start_polish
-    # just skips the wasted step).  The polish phase is still
-    # mixed-precision: f64 residuals + FCG with the f32 V-cycle/Schwarz
-    # preconditioner (no eps32*kappa floor in the mixed recurrence); on
-    # the chip it tracks the CPU-IEEE twin trajectory and reaches the
-    # cross-backend-certified floor (measured: 15 steps, rel 6.7e-8
-    # vs host-f64 7.4e-8 at q=100).  The per-step production cost
-    # reported below is therefore the WARM POLISH STEP (frozen tangent),
-    # measured at the converged state; the f32 step time is kept in the
-    # artifact for comparison with the single-patch phase model.
+    # COUPLING-DEPENDENT solve mode (round 5, VERDICT item #1):
+    #   nitsche (default): the f32 production phase RUNS (no
+    #     start_polish) -- the consistent coupling's moderate beta does
+    #     not amplify the inner f32 solve's eps32*kappa floor into a
+    #     rejected step (penalty: rel ~2.9e3 after one step), and the
+    #     f64 polish reaches the ~1e-9-class floor, certified with the
+    #     TIGHT floor_rel=1e-8 guard.
+    #   penalty (round-4 reproduction): POLISH-FIRST (start_polish) --
+    #     pd ~ 2e9 amplifies the f32 inner-solve floor; both f64
+    #     evaluations floor at ~7e-8 rel (floor_rel relaxed to 1e-6; the
+    #     certificate's binding parts remain the cross-backend agreement
+    #     + the collapsed increment).
     step32_s = _time_step(ns, spline, log, reps=2)
-    # floor_rel=1e-6: the displacement penalty (pd ~ 2e9) amplifies
-    # interface-jump roundoff into the f64 residual -- both independent
-    # f64 evaluations floor at ~7e-8 rel here (measured; single-patch
-    # floors ~5e-10), and the certificate's binding parts remain the
-    # cross-backend agreement + the collapsed increment.
-    out = _solve_and_certify(ns, spline, polish_res_dev, log,
-                             floor_rel=1e-6, start_polish=True)
+    if kind == "penalty":
+        out = _solve_and_certify(ns, spline, polish_res_dev, log,
+                                 floor_rel=1e-6, start_polish=True)
+    else:
+        out = _solve_and_certify(ns, spline, polish_res_dev, log,
+                                 floor_rel=1e-8)
     Usol = out.pop("_U")
     t0 = time.time()
     _, rn_p, _dU = ns.polish_step(Usol, rebuild=False)
@@ -299,21 +329,124 @@ def _two_patch_point(log):
         _, rn_p, _dU = ns.polish_step(Usol, rebuild=False)
         _ = float(rn_p)
         step_s = min(step_s, time.time() - t0)
+    if kind == "penalty":
+        iface_desc = ("non-matching, displacement+rotation penalty "
+                      f"(pd={pd:g}, pr={pr:g})")
+        phases = ("polish-first mixed precision (f64 residual + "
+                  "f32-V-cycle FCG); f32 production steps are "
+                  "penalty-noise-bound at this pd")
+    else:
+        D = E_mod * h_th ** 3 / 12.0 / (1 - nu ** 2)
+        bd = 10.0 * (D / h_el ** 3 + E_mod * h_th / h_el)
+        iface_desc = ("non-matching, consistent energy-derived symmetric "
+                      f"Nitsche (beta_d={bd:g}, beta_r={10.0 * D / h_el:g})")
+        phases = ("full production: f32 Newton steps + f64 polish "
+                  "(consistent coupling at moderate beta -- no penalty "
+                  "noise floor)")
     out.update({
         "ndof": spline.ndof,
         "nel": sum(nx * nay + nx * nby for nx, nay, nby in sizes[:1]),
         "patches": 2,
-        "interface": "non-matching, displacement+rotation penalty "
-                     f"(pd={pd:g}, pr={pr:g})",
-        "solve_phases": "polish-first mixed precision (f64 residual + "
-                        "f32-V-cycle FCG); f32 production steps are "
-                        "penalty-noise-bound at this pd",
+        "coupling": kind,
+        "interface": iface_desc,
+        "solve_phases": phases,
         "newton_step_ms": step_s * 1e3,
         "newton_step_dof_per_s": spline.ndof / step_s,
         "f32_step_ms": step32_s * 1e3,
         "vs_baseline": ref_step_seconds(spline.ndof) / step_s,
     })
-    log(f"two-patch: polish step {step_s * 1e3:.1f} ms "
+    log(f"two-patch ({kind}): polish step {step_s * 1e3:.1f} ms "
+        f"({spline.ndof / step_s:.3e} DoF/s; f32 step "
+        f"{step32_s * 1e3:.1f} ms), solve "
+        f"{out['full_solve_s']:.1f}s/{out['full_solve_steps']} steps, "
+        f"floor_certified={out['f64_floor_certified']}")
+    return out
+
+
+def _tspline_point(log):
+    """Round-5 (VERDICT item #3) evidence: the space-agnostic third
+    Newton tier (solvers/newton_sa.SANewton -- coo tangent + multilevel
+    smoothed-aggregation V-cycle) ON THE REAL CHIP, driving the KL shell
+    on a genuinely unstructured space: the valence-3 extraordinary-point
+    ("star") T-spline of models/tsplines.make_star_extraction, which no
+    tensor-product stencil/MG path can represent.  Measures the warm f32
+    production step, the warm f64 polish step, and the full
+    mixed-precision solve with the same cross-backend floor certificate
+    as the other points.  Size via BENCH_TS_NEL (elements per sector
+    edge; default 48 -> ~3*48^2 elements)."""
+    import os
+    import tempfile
+    import time
+    import numpy as np
+    import jax.numpy as jnp
+
+    from tigar_tpu.models.tsplines import (make_star_extraction,
+                                           write_rhino_extraction,
+                                           RhinoTSplineControlMesh)
+    from tigar_tpu.models.space import EqualOrderSpline
+    from tigar_tpu.models.extracted import ExtractedSpline
+    from tigar_tpu.models.shell import (precompute_shell_reference,
+                                        svk_shell_adjoint)
+    from tigar_tpu.solvers.newton_sa import SANewton
+
+    nel = int(os.environ.get("BENCH_TS_NEL", "48"))
+    E_mod, nu, h_th = 3.0e4, 0.3, 0.03
+    # clamped-plate scale: deflection ~2.7x thickness at q=0.4 (genuinely
+    # nonlinear, same class as the single-patch headline at q=100)
+    q = float(os.environ.get("BENCH_TS_Q", "0.4"))
+
+    t0 = time.time()
+    bnet, nodes_list, ops_list = make_star_extraction(3, nel)
+    fpath = os.path.join(tempfile.mkdtemp(), "star.iga")
+    write_rhino_extraction(fpath, bnet, nodes_list, ops_list)
+    cm = RhinoTSplineControlMesh(fpath)
+    gen = EqualOrderSpline(3, cm)
+    bd = cm.scalar_basis().boundary_dofs(1)
+    for i in range(3):
+        gen.add_zero_dofs(i, bd)
+    spline = precompute_shell_reference(
+        ExtractedSpline(gen, quad_degree=6, nders=2))
+    log(f"t-spline preprocess: {time.time() - t0:.1f}s; "
+        f"ndof={spline.ndof} (star valence 3, nel/sector {nel})")
+
+    def res_adj(ctx, u):
+        F = svk_shell_adjoint(ctx, u, E_mod, nu, h_th)
+        return F._replace(val=F.val.at[2].add(-q))
+
+    polish_res_dev = os.environ.get("BENCH_POLISH_RES_DEV", "cpu")
+    t0 = time.time()
+    ns = SANewton(spline, res_adj,
+                  cg_iters=int(os.environ.get("BENCH_TS_CG_ITERS", "120")),
+                  polish_cg_iters=int(os.environ.get("BENCH_TS_PCG_ITERS",
+                                                     "160")),
+                  setup_log=log, polish_tangent="f64",
+                  polish_residual_device=polish_res_dev,
+                  build_quad_degree=4, rebuild_rel=0.1,
+                  sa_kwargs={"near_kernel": "linear"})
+    log(f"t-spline SANewton setup: {time.time() - t0:.1f}s")
+
+    step32_s = _time_step(ns, spline, log, reps=2)
+    out = _solve_and_certify(ns, spline, polish_res_dev, log)
+    Usol = out.pop("_U")
+    _, rn_p, _dU = ns.polish_step(Usol, rebuild=False)
+    _ = float(rn_p)
+    step_s = np.inf
+    for _ in range(2):
+        t0 = time.time()
+        _, rn_p, _dU = ns.polish_step(Usol, rebuild=False)
+        _ = float(rn_p)
+        step_s = min(step_s, time.time() - t0)
+    out.update({
+        "ndof": spline.ndof,
+        "space": f"star T-spline (valence-3 extraordinary point), "
+                 f"{nel}/sector",
+        "solver": "SANewton (coo tangent + multilevel-SA V-cycle)",
+        "newton_step_ms": step_s * 1e3,
+        "newton_step_dof_per_s": spline.ndof / step_s,
+        "f32_step_ms": step32_s * 1e3,
+        "vs_baseline": ref_step_seconds(spline.ndof) / step_s,
+    })
+    log(f"t-spline: polish step {step_s * 1e3:.1f} ms "
         f"({spline.ndof / step_s:.3e} DoF/s; f32 step "
         f"{step32_s * 1e3:.1f} ms), solve "
         f"{out['full_solve_s']:.1f}s/{out['full_solve_steps']} steps, "
@@ -569,16 +702,23 @@ def main():
         log("--- coupled two-patch shell ---")
         two_patch = _two_patch_point(log)
 
+    # ---- on-chip SANewton star-T-spline point (round-5 VERDICT item 3) ------
+    tspline = None
+    if os.environ.get("BENCH_TSPLINE",
+                      "1" if nel == 128 else "0") == "1":
+        log("--- star-T-spline SANewton shell ---")
+        tspline = _tspline_point(log)
+
     n_cache1 = len(os.listdir(cache_dir)) if os.path.isdir(cache_dir) else 0
     log(f"persistent cache: {n_cache1 - n_cache0} new entries "
         f"(misses); {n_cache1} total")
 
-    print(json.dumps({
-        "metric": "kl_shell_newton_step_dof_per_s",
-        "value": step_dof_s,
-        "unit": "dof/s",
-        "vs_baseline": vsb,
-        "extra": {
+    # FULL details -> BENCH_DETAILS.json (referenced by path from the
+    # compact stdout line; round-5 VERDICT item #4).
+    details_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "BENCH_DETAILS.json")
+    details = {
+        "headline": {
             "ndof": headline_ndof,
             "nel": nel * nel,
             "newton_step_ms": best_step * 1e3,
@@ -586,28 +726,58 @@ def main():
             "ref_step_model": "residual@1e5 DoF/s + 4x tangent matrix + "
                               "O(n^1.5) LU (1s@50.7k); see bench.py "
                               "docstring",
-            "full_solve_s": t_solve,
-            "full_solve_steps": nsteps,
             "full_solve_nested": use_nested,
-            "f64_rel_residual": rel64,
-            "f64_dU_rel": dU_rel,
-            "cross_backend_true_f64_rel_residual": cpu_rel,
-            "polish_residual_device": polish_res_dev,
-            "f64_floor_certified": floor_certified,
-            "f64_accurate": f64_ok,
             "load_q": q,
             "residual_assembly_f32_ms": dt32 * 1e3,
             "residual_assembly_f32_dof_per_s": headline_ndof / dt32,
             "residual_assembly_f64_ms": dt64 * 1e3,
             "mg_levels": [nel] + mg_sizes,
             "cg_iters": cg_iters,
-            "sweep": sweep,
-            "two_patch": two_patch,
-            "cache_new_entries": n_cache1 - n_cache0,
-            "timing": "dependent jitted dispatch chains + host value "
-                      "fetch (bench.py docstring; scan-fused harness "
-                      "retired after the 427s/200MB-executable diagnosis)",
-            "device": str(jax.devices()[0]),
+            **{k: v for k, v in solve_out.items()},
+        },
+        "sweep": sweep,
+        "two_patch": two_patch,
+        "tspline": tspline,
+        "cache_new_entries": n_cache1 - n_cache0,
+        "timing": "dependent jitted dispatch chains + host value "
+                  "fetch (bench.py docstring; scan-fused harness "
+                  "retired after the 427s/200MB-executable diagnosis)",
+        "device": str(jax.devices()[0]),
+        "wall_s": time.time() - T0,
+    }
+    with open(details_path, "w") as f:
+        json.dump(details, f, indent=1)
+    log(f"details -> {details_path}")
+
+    def _pt(d, *keys):
+        """Compact per-point summary for the stdout line."""
+        if d is None:
+            return None
+        out = {"ndof": d.get("ndof"),
+               "step_ms": round(d.get("newton_step_ms", 0.0), 1),
+               "vs_baseline": round(d.get("vs_baseline", 0.0), 1),
+               "floor_certified": d.get("f64_floor_certified")}
+        for k in keys:
+            out[k] = d.get(k)
+        return out
+
+    print(json.dumps({
+        "metric": "kl_shell_newton_step_dof_per_s",
+        "value": round(step_dof_s, 1),
+        "unit": "dof/s",
+        "vs_baseline": round(vsb, 2),
+        "extra": {
+            "ndof": headline_ndof,
+            "newton_step_ms": round(best_step * 1e3, 2),
+            "full_solve_s": round(t_solve, 1),
+            "full_solve_steps": nsteps,
+            "f64_rel_residual": float(f"{rel64:.3g}"),
+            "f64_floor_certified": floor_certified,
+            "f64_accurate": f64_ok,
+            "sweep": [_pt(s) for s in sweep],
+            "two_patch": _pt(two_patch, "coupling"),
+            "tspline": _pt(tspline, "space"),
+            "details": "BENCH_DETAILS.json",
         },
     }))
     if not f64_ok:

@@ -129,6 +129,89 @@ def test_multipatch_stencil_newton_floor():
     assert abs(w_tip) > 1e-8
 
 
+def test_multipatch_stencil_newton_nitsche():
+    """Round-5 VERDICT item #1: the production multipatch tier driven by
+    the CONSISTENT energy-derived symmetric Nitsche coupling
+    (interface.EnergyNitscheCoupling on the shell energy) instead of the
+    displacement+rotation penalty.  The moderate-beta coupling must (a)
+    converge through the SAME f32-production/f64-polish phases, (b) reach
+    a floor BELOW the penalty's (no pd~4e8 roundoff amplification), and
+    (c) agree with an independent dense direct Newton solve of the same
+    discrete system."""
+    from tigar_tpu.models.shell import svk_psi_surface
+    from tigar_tpu.interface import EnergyNitscheCoupling
+
+    nel = 8
+    h_el = 1.0 / nel
+    D = E_MOD * H_TH ** 3 / 12.0 / (1 - NU ** 2)
+
+    def shell_energy(ctx, u, params):
+        return svk_psi_surface(ctx, u, params["E"], params["nu"],
+                               params["h"])
+
+    def nitsche(sp, nx):
+        h = 1.0 / nx
+        return EnergyNitscheCoupling(
+            sp, 0, (0, 1), 1, (0, 0), shell_energy,
+            beta_d=10.0 * (D / h ** 3 + E_MOD * H_TH / h),
+            beta_r=10.0 * D / h, w_order=2,
+            params={"E": E_MOD, "nu": NU, "h": H_TH})
+
+    levels = [(2 * nel, 2 * nel, 2 * nel + 4),
+              (nel, nel, nel + 2),
+              (nel // 2, nel // 2, nel // 2 + 1)]
+    splines, couplings = [], []
+    for lx, lay, lby in levels:
+        sp, _ = _two_patch_shell(lx, lay, lby)
+        splines.append(sp)
+        couplings.append(nitsche(sp, lx))
+    spline, coupling = splines[0], couplings[0]
+
+    ns = MultiPatchStencilNewton(
+        spline, _res_adj_factory(), coupling,
+        mg_splines=splines[1:], mg_couplings=couplings[1:],
+        cg_iters=25, polish_cg_iters=40)
+    U, rel, steps, dU_rel = ns.solve(rtol=1e-10, max_iters=25)
+    # consistent coupling at moderate beta: the residual floor scales
+    # with the stabilization (beta_d ~ 8.5e7 here vs the penalty test's
+    # pd ~ 8e8) -- measured 4.2e-9 in 6 steps, ~4x below the penalty
+    # test's 2e-8 acceptance; correctness is anchored by the dense
+    # direct-Newton cross-check below
+    assert rel < 5e-9, (rel, steps)
+    assert np.all(np.isfinite(np.asarray(U)))
+
+    # independent dense direct Newton on the SAME discrete system
+    def res(ctx, u, v):
+        return svk_shell_residual(ctx, u, v, E_MOD, NU, H_TH) - Q * v.val[2]
+
+    mask = spline.mask
+    idx, _ = coupling.tangent_block(jnp.zeros(spline.ndof))
+    idxj = jnp.asarray(idx)
+    Ud = jnp.zeros(spline.ndof, dtype=spline.dtype)
+    r0_norm = None
+    for _ in range(12):
+        r = (spline.assemble_vector(res, U=Ud)
+             + mask * coupling.residual(Ud))
+        r_norm = float(jnp.linalg.norm(r))
+        if r0_norm is None:
+            r0_norm = r_norm
+        if r_norm < 1e-9 * r0_norm:
+            break
+        A = spline.assemble_matrix(res, U=Ud)
+        _, K = coupling.tangent_block(Ud)
+        A = A.at[idxj[:, None], idxj[None, :]].add(
+            K * mask[idxj][:, None] * mask[idxj][None, :])
+        Ud = Ud - jnp.linalg.solve(A, r)
+
+    rel_diff = float(jnp.linalg.norm(U - Ud) / jnp.linalg.norm(Ud))
+    assert rel_diff < 1e-7, rel_diff
+
+    # the coupled plate actually bends across the interface (patch 1)
+    w_tip = float(spline.evaluate(U, np.asarray([[1.0, 0.5]]),
+                                  patch=1)[0, 2])
+    assert abs(w_tip) > 1e-8
+
+
 # -- N-patch / multi-interface production solving (round-4 VERDICT item #2) -----
 
 

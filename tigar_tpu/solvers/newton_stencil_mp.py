@@ -154,14 +154,25 @@ class MultiPatchStencilOperator:
         out = jnp.zeros_like(U)
         for p, st in enumerate(self.sts):
             out = self._scatter_patch(out, st(self._patch_block(U, p)), p)
+        f64 = U.dtype == jnp.float64
         for blk in self.ifaces:
-            # precision=HIGHEST: penalty-scaled block (see schwarz());
-            # bf16 MXU passes put ~4e-3 relative noise on pd~2e9 entries,
-            # which the f32 production CG and V-cycle smoothing residuals
-            # cannot tolerate.  [m, m] @ [m], cost immeasurable.
-            out = out.at[blk.idx].add(jnp.matmul(
-                blk.K, U[blk.idx],
-                precision=jax.lax.Precision.HIGHEST))
+            if f64:
+                # NEVER let an emulated-f64 contraction lower to
+                # dot_general (the MXU has no f64 path; the lowering is
+                # catastrophic -- same dispatch as StencilOperator
+                # .__call__): elementwise VPU multiply + reduce instead.
+                # At m ~ 1.6e3 this is the difference between ~ms and
+                # ~100ms-class per polish-FCG matvec on the chip.
+                y = jnp.sum(blk.K * U[blk.idx][None, :], axis=1)
+            else:
+                # precision=HIGHEST: penalty-scaled block (see
+                # schwarz()); bf16 MXU passes put ~4e-3 relative noise on
+                # pd~2e9 entries, which the f32 production CG and V-cycle
+                # smoothing residuals cannot tolerate.  [m, m] @ [m],
+                # cost immeasurable in true f32.
+                y = jnp.matmul(blk.K, U[blk.idx],
+                               precision=jax.lax.Precision.HIGHEST)
+            out = out.at[blk.idx].add(y)
         return out
 
     def diagonal(self):
