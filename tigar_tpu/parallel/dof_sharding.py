@@ -235,18 +235,29 @@ class DoFShardedAssembler:
 
     # -- the sharded residual ---------------------------------------------------
 
-    def residual(self, density, u3):
+    def residual(self, density, u3, adjoint=False):
         """Sharded residual: u3 sharded [nf, n*R, fast] -> r3 sharded
         [nf, n*R, fast] = mask * assemble(density; u).  One
         nearest-neighbor halo ppermute each way; no full-length vector,
-        no AllReduce."""
-        fn = self._jit_cache.get(id(density))
+        no AllReduce.  ``adjoint=True``: ``density`` is an adjoint-jet
+        density (residual_vector_adjoint -- the production Newton
+        residual route)."""
+        key = (id(density), bool(adjoint))
+        fn = self._jit_cache.get(key)
         if fn is None:
-            fn = self._build(density)
-            self._jit_cache[id(density)] = fn
+            fn = self._build(density, adjoint=adjoint)
+            self._jit_cache[key] = fn
         return fn(self._children, u3, self.mask3)
 
-    def _build(self, density):
+    def _specs(self):
+        espec = P(ELEMENT_AXIS)
+        rspec = P(None, ELEMENT_AXIS, None)
+        in_specs = (jax.tree_util.tree_map(lambda _: espec,
+                                           self._children),
+                    rspec, rspec)
+        return espec, rspec, in_specs
+
+    def _build(self, density, adjoint=False):
         n, R, H, nf, fast = (self.n_shards, self.R, self.H, self.nf,
                              self.fast)
         aux = self._aux
@@ -259,17 +270,185 @@ class DoFShardedAssembler:
             asm = DomainAssembler.tree_unflatten(aux, children)
             halo = jax.lax.ppermute(u3_loc[:, :H], ELEMENT_AXIS, fwd)
             u_ext = jnp.concatenate([u3_loc, halo], axis=1).reshape(-1)
-            r_ext = asm.residual_vector(density, u_ext)
+            if adjoint:
+                r_ext = asm.residual_vector_adjoint(density, u_ext)
+            else:
+                r_ext = asm.residual_vector(density, u_ext)
             r3 = r_ext.reshape(nf, R + H, fast)
             recv = jax.lax.ppermute(r3[:, R:], ELEMENT_AXIS, bwd)
             r_loc = r3[:, :R].at[:, :H].add(recv)
             return r_loc * m3_loc
 
-        espec = P(ELEMENT_AXIS)
-        rspec = P(None, ELEMENT_AXIS, None)
-        in_specs = (jax.tree_util.tree_map(lambda _: espec,
-                                           self._children),
-                    rspec, rspec)
+        _, rspec, in_specs = self._specs()
         return jax.jit(shard_map(local, mesh=self.mesh,
                                  in_specs=in_specs, out_specs=rspec,
                                  check_vma=False))
+
+
+class DoFShardedNewton:
+    """Full DoF-sharded Newton step (round-4 VERDICT item #5): tangent
+    build, tangent apply, dot products, and the CG solve all operate on
+    the sharded [nf, n*R, fast] DoF blocks -- no device (or process)
+    ever materializes a full-length DoF vector in the step.
+
+    Structure per step (reference analog: PETSc distributes the matrix,
+    the KSP Krylov vectors, and the solve, tIGAr/common.py:1236-1263,
+    1474-1492):
+
+      - residual: DoFShardedAssembler.residual(adjoint=True) -- one
+        p-layer halo ppermute each way;
+      - tangent: per-shard element matrices [nel_local, nloc, nloc] via
+        element_matrices_adjoint over the halo-extended local vector
+        (NO communication beyond the same u halo -- every element's
+        support lives in its owner's block + halo, so the build is
+        embarrassingly local, exactly like PETSc's local MatSetValues);
+      - apply: gather-matvec-scatter against the LOCAL element batch +
+        the same two halo ppermutes (x halo in, y halo contributions
+        back); BC'd as mask*A(mask*x) + (1-mask)*x;
+      - Jacobi-PCG: fixed-iteration CG in ONE jitted program over the
+        sharded blocks; the dot products are jnp.vdot on sharded arrays
+        (GSPMD lowers them to per-shard partial sums + a scalar
+        AllReduce -- the only collective beyond the halos).
+
+    The per-element matvec is dtype-dispatched like ops/stencil: f64 on
+    an accelerator runs the elementwise VPU form (an emulated-f64
+    dot_general lowering is catastrophic, CLAUDE.md round-3)."""
+
+    def __init__(self, ds: DoFShardedAssembler, adjoint_res,
+                 cg_iters=60):
+        self.ds = ds
+        self.adjoint = adjoint_res
+        self.cg_iters = int(cg_iters)
+        self._tangent_fns = None
+
+    # -- sharded tangent ---------------------------------------------------------
+
+    def _fns(self):
+        if self._tangent_fns is not None:
+            return self._tangent_fns
+        ds = self.ds
+        n, R, H, nf, fast = ds.n_shards, ds.R, ds.H, ds.nf, ds.fast
+        aux = ds._aux
+        adjoint = self.adjoint
+        fwd = [(i + 1, i) for i in range(n - 1)]
+        bwd = [(i, i + 1) for i in range(n - 1)]
+        shard_map = jax.shard_map
+        espec, rspec, in_specs = ds._specs()
+
+        def build_local(children, u3_loc):
+            asm = DomainAssembler.tree_unflatten(aux, children)
+            halo = jax.lax.ppermute(u3_loc[:, :H], ELEMENT_AXIS, fwd)
+            u_ext = jnp.concatenate([u3_loc, halo], axis=1).reshape(-1)
+            return asm.element_matrices_adjoint(adjoint, u_ext)
+
+        build = jax.jit(shard_map(
+            build_local, mesh=ds.mesh,
+            in_specs=(in_specs[0], rspec), out_specs=espec,
+            check_vma=False))
+
+        def halo_ext(x3_loc):
+            halo = jax.lax.ppermute(x3_loc[:, :H], ELEMENT_AXIS, fwd)
+            return jnp.concatenate([x3_loc, halo], axis=1).reshape(-1)
+
+        def halo_fold(y_ext):
+            y3 = y_ext.reshape(nf, R + H, fast)
+            recv = jax.lax.ppermute(y3[:, R:], ELEMENT_AXIS, bwd)
+            return y3[:, :R].at[:, :H].add(recv)
+
+        def apply_local(children, E_loc, x3_loc, m3_loc):
+            asm = DomainAssembler.tree_unflatten(aux, children)
+            x_ext = halo_ext(x3_loc * m3_loc)
+            xe = x_ext[asm.cat_conn]                     # [nel, nloc]
+            if xe.dtype == jnp.float64:
+                ye = jnp.sum(E_loc * xe[:, None, :], axis=-1)
+            else:
+                ye = jnp.einsum("eab,eb->ea", E_loc, xe)
+            y_ext = jnp.zeros(nf * (R + H) * fast,
+                              dtype=xe.dtype).at[asm.cat_conn].add(ye)
+            y_loc = halo_fold(y_ext)
+            return m3_loc * y_loc + (1.0 - m3_loc) * x3_loc
+
+        apply_ = jax.jit(shard_map(
+            apply_local, mesh=ds.mesh,
+            in_specs=(in_specs[0], espec, rspec, rspec),
+            out_specs=rspec, check_vma=False))
+
+        def diag_local(children, E_loc, m3_loc):
+            asm = DomainAssembler.tree_unflatten(aux, children)
+            de = jnp.diagonal(E_loc, axis1=1, axis2=2)   # [nel, nloc]
+            d_ext = jnp.zeros(nf * (R + H) * fast,
+                              dtype=de.dtype).at[asm.cat_conn].add(de)
+            d_loc = halo_fold(d_ext)
+            d_loc = m3_loc * d_loc + (1.0 - m3_loc)
+            return jnp.where(d_loc != 0.0, d_loc, jnp.ones_like(d_loc))
+
+        diag = jax.jit(shard_map(
+            diag_local, mesh=ds.mesh,
+            in_specs=(in_specs[0], espec, rspec),
+            out_specs=rspec, check_vma=False))
+
+        self._tangent_fns = (build, apply_, diag)
+        return self._tangent_fns
+
+    def element_tangent(self, u3):
+        """Per-shard element tangent batch at the sharded state u3."""
+        build, _, _ = self._fns()
+        return build(self.ds._children, u3)
+
+    def tangent_apply(self, E, x3):
+        """BC'd sharded tangent action A @ x (identity on constrained
+        rows)."""
+        _, apply_, _ = self._fns()
+        return apply_(self.ds._children, E, x3, self.ds.mask3)
+
+    # -- sharded linear solve ----------------------------------------------------
+
+    def cg(self, E, b3, iters=None):
+        """Fixed-iteration Jacobi-PCG over the sharded blocks, one jitted
+        program (everything stays sharded; scalars replicate)."""
+        _, apply_, diag = self._fns()
+        children, m3 = self.ds._children, self.ds.mask3
+        n_it = self.cg_iters if iters is None else int(iters)
+
+        # eager lax.fori_loop (the CLAUDE.md device-loop discipline: no
+        # outer jit around it -- it compiles once per shape on its own);
+        # the jitted shard_map applies inline into the loop program
+        if not hasattr(self, "_cg_jit"):
+
+            def _cg(children, E, b3, m3, n_it):
+                d3 = diag(children, E, m3)
+                dinv = 1.0 / d3
+                x = jnp.zeros_like(b3)
+                r = b3
+                z = dinv * r
+                p = z
+                rz = jnp.vdot(r, z)
+
+                def body(_, st):
+                    x, r, p, rz = st
+                    Ap = apply_(children, E, p, m3)
+                    alpha = rz / jnp.vdot(p, Ap)
+                    x = x + alpha * p
+                    r = r - alpha * Ap
+                    z = dinv * r
+                    rz_new = jnp.vdot(r, z)
+                    p = z + (rz_new / rz) * p
+                    return (x, r, p, rz_new)
+
+                x, r, p, rz = jax.lax.fori_loop(
+                    0, n_it, body, (x, r, p, rz))
+                return x
+
+            self._cg_jit = _cg
+        return self._cg_jit(children, E, b3, m3, n_it)
+
+    # -- the step -----------------------------------------------------------------
+
+    def step(self, u3, cg_iters=None):
+        """One full sharded Newton step: returns (u3_new, |r| scalar).
+        Every intermediate (residual, element tangents, Krylov vectors)
+        is sharded; the only replicated values are scalars."""
+        r3 = self.ds.residual(self.adjoint, u3, adjoint=True)
+        E = self.element_tangent(u3)
+        du3 = self.cg(E, r3, iters=cg_iters)
+        return u3 - du3, jnp.linalg.norm(r3)
