@@ -121,18 +121,31 @@ def main():
         ncp = bnet.shape[0]
         field_of = np.repeat(np.arange(3), ncp)
 
-        t0 = time.time()
         # field-pure aggregation + the linear near-kernel are both
         # REQUIRED on the bending tangent: without either, multilevel
-        # needs >600 PCG iterations at nel=32 where this setup needs ~53
-        prem = MultilevelSA.from_coo(idx[:, 0], idx[:, 1], vals,
-                                     sp.ndof, pts, m_h, coarsen=3.0,
-                                     coarse_size=800, field_of=field_of,
-                                     near_kernel="linear")
-        t_ml = time.time() - t0
-        im = pcg_iters(M_sp, prem, b)
-        print(f"  multilevel: {im} iters (setup {t_ml:.1f}s, "
-              f"levels={prem.level_sizes})", flush=True)
+        # needs >600 PCG iterations at nel=32 where this setup needs ~53.
+        # Round-5 variants (VERDICT item #6, closing the bending
+        # h-growth): richer near-kernel ("quadratic": the low-energy
+        # bending modes) and/or W-cycles.
+        # variant syntax: near_kernel:cycle[:coarsen[:n_smooth]]
+        variants = [v.split(":") for v in os.environ.get(
+            "MLSA_VARIANTS", "linear:V").split(",")]
+        for v in variants:
+            nk, cyc = v[0], v[1]
+            crs = float(v[2]) if len(v) > 2 else 3.0
+            nsm = int(v[3]) if len(v) > 3 else 2
+            t0 = time.time()
+            prem = MultilevelSA.from_coo(idx[:, 0], idx[:, 1], vals,
+                                         sp.ndof, pts, m_h, coarsen=crs,
+                                         coarse_size=800,
+                                         field_of=field_of,
+                                         n_smooth=nsm,
+                                         near_kernel=nk, cycle=cyc)
+            t_ml = time.time() - t0
+            im = pcg_iters(M_sp, prem, b)
+            print(f"  multilevel[{':'.join(v)}]: {im} iters "
+                  f"(setup {t_ml:.1f}s, levels={prem.level_sizes})",
+                  flush=True)
 
         if os.environ.get("MLSA_SKIP_TWOLEVEL", "0") != "1":
             from tigar_tpu.solvers.aggregation import (

@@ -216,3 +216,28 @@ def test_multilevel_sa_near_flat_iterations(tmp_path):
         iters.append(_pcg_iters(lambda W: M_sp @ W, b, pre, tol=1e-8))
     # near-flat: no worse than 35% growth over a 16x DoF range
     assert iters[-1] <= 1.35 * iters[0] + 1, iters
+
+
+def test_multilevel_sa_wcycle_and_quadratic_kernel(tmp_path):
+    """Round-5 MultilevelSA options: cycle="W" and
+    near_kernel="quadratic" both produce SPD-preconditioned PCG that
+    matches the direct solution; quadratic enriches the tentative space
+    (more coarse columns -> larger level sizes) without losing
+    convergence.  The bending-tangent measurements motivating them are
+    in scripts/bench_mlsa_shell.py."""
+    from tigar_tpu.solvers.aggregation import MultilevelSA
+    a, L = _poisson_forms()
+    sp = _star_spline(tmp_path, nel=12, tag="wq")
+    b = sp.assemble_vector(L)
+    ref = None
+    for nk, cyc in (("linear", "V"), ("linear", "W"),
+                    ("quadratic", "V"), ("quadratic", "W")):
+        pre, M_sp = MultilevelSA.from_spline(sp, a, coarse_size=8,
+                                             near_kernel=nk, cycle=cyc)
+        it = _pcg_iters(lambda W: M_sp @ W, b, pre, tol=1e-10)
+        assert it < 200, (nk, cyc, it)
+        if ref is None:
+            ref = pre.level_sizes
+        elif nk == "quadratic" and cyc == "V":
+            # quadratic tentative space is strictly richer level-1
+            assert pre.level_sizes[1] > ref[1], (pre.level_sizes, ref)

@@ -150,6 +150,8 @@ class ExtractedSpline:
         self.sa_omega_P = 0.66
         self.sa_levels = 2              # >2: recursive MultilevelSA
         self.sa_coarse_size = 800       # dense-factor threshold (multilevel)
+        self.sa_near_kernel = "linear"  # "constant"/"linear"/"quadratic"
+        self.sa_cycle = "V"             # "V" or "W" (multilevel only)
         self._sa_cache = {}
         self._asm_cast_cache = {}
 
@@ -164,7 +166,8 @@ class ExtractedSpline:
                            mg_levels=None, mg_smooth=None, mg_omega=None,
                            mg_dtype=None, sa_coarsen=None, sa_smooth=None,
                            sa_omega_P=None, sa_levels=None,
-                           sa_coarse_size=None):
+                           sa_coarse_size=None, sa_near_kernel=None,
+                           sa_cycle=None):
         if max_iters is not None:
             self.max_iters = max_iters
         if relative_tolerance is not None:
@@ -212,6 +215,17 @@ class ExtractedSpline:
             # prolongations, re-aggregated Galerkin coarse operators,
             # GAMG-class scaling for 10^5+ unstructured DoFs)
             self.sa_levels = int(sa_levels)
+            self._sa_cache = {}
+        if sa_near_kernel is not None:
+            # tentative-space richness for the multilevel SA hierarchy:
+            # "linear" (default; required for bending-dominated
+            # tangents) or "quadratic" (adds the low-energy coordinate
+            # products -- fewer PCG iterations on 4th-order operators at
+            # a larger setup; measured in scripts/bench_mlsa_shell.py)
+            self.sa_near_kernel = str(sa_near_kernel)
+            self._sa_cache = {}
+        if sa_cycle is not None:
+            self.sa_cycle = str(sa_cycle).upper()
             self._sa_cache = {}
         if sa_coarse_size is not None:
             # coarsest-level dense-factor threshold for the multilevel path
@@ -691,7 +705,8 @@ class ExtractedSpline:
                     coarsen=self.sa_coarsen, omega_P=self.sa_omega_P,
                     n_smooth=self.sa_smooth, apply_bcs=apply_bcs,
                     coarse_size=self.sa_coarse_size,
-                    max_levels=self.sa_levels - 1)
+                    max_levels=self.sa_levels - 1,
+                    near_kernel=self.sa_near_kernel, cycle=self.sa_cycle)
                 self._sa_cache[(fkey, apply_bcs)] = (pkey, (pre, M_sp))
             else:
                 pre, M_sp = TwoLevelSA.from_spline(

@@ -341,14 +341,18 @@ class MultilevelSA:
     gather-contract, down() the exact transpose scatter -- both
     TPU-friendly (static shapes, no host sync)."""
 
-    def __init__(self, levels, coarse_inv, ndof, n_smooth):
+    def __init__(self, levels, coarse_inv, ndof, n_smooth, cycle="V"):
         # levels: tuples (rows, cols, vals, om_dinv, P_cols, P_vals, n_c)
         self._levels = tuple(levels)
         self._coarse_inv = coarse_inv
         self._ndof = int(ndof)
         self._n_smooth = int(n_smooth)
+        self._cycle = str(cycle).upper()
+        if self._cycle not in ("V", "W"):
+            raise ValueError("cycle must be 'V' or 'W'")
         ns = self._n_smooth
         nlev = len(levels)
+        gamma = 2 if self._cycle == "W" else 1
 
         def amv(lv, x):
             rows, cols, vals = lv[0], lv[1], lv[2]
@@ -363,7 +367,7 @@ class MultilevelSA:
             return jnp.zeros(nc, dtype=r.dtype).at[lv[4]].add(
                 lv[5] * r[:, None])
 
-        def cycle(l, r):
+        def cycle_fn(l, r):
             if l == nlev:
                 return self._coarse_inv @ r
             lv = self._levels[l]
@@ -371,13 +375,18 @@ class MultilevelSA:
             x = om_dinv * r
             for _ in range(ns - 1):
                 x = x + om_dinv * (r - amv(lv, x))
-            d = r - amv(lv, x)
-            x = x + up(lv, cycle(l + 1, down(lv, d)))
+            # coarse-grid correction, gamma visits (V: 1, W: 2 -- the
+            # recursion refreshes the restricted residual between
+            # visits; the coarsest dense solve is exact so extra visits
+            # only apply below the top)
+            for _ in range(gamma if l + 1 < nlev else 1):
+                d = r - amv(lv, x)
+                x = x + up(lv, cycle_fn(l + 1, down(lv, d)))
             for _ in range(ns):
                 x = x + om_dinv * (r - amv(lv, x))
             return x
 
-        self._apply32 = jax.jit(lambda r: cycle(0, r))
+        self._apply32 = jax.jit(lambda r: cycle_fn(0, r))
 
     @property
     def n_levels(self):
@@ -397,7 +406,7 @@ class MultilevelSA:
     def from_coo(cls, rows, cols, vals, ndof, points_dof, mask,
                  coarsen=3.0, omega_P=0.66, jacobi_omega=0.7, n_smooth=2,
                  coarse_size=800, max_levels=12, labels0=None,
-                 field_of=None, near_kernel="linear"):
+                 field_of=None, near_kernel="linear", cycle="V"):
         """Build from host coo arrays of the BC'd fine operator.
 
         points_dof  : [ndof, d] physical position of every DoF (field
@@ -411,15 +420,23 @@ class MultilevelSA:
                       fields (at ANY level -- field-pure tentative spaces
                       are what lets rigid-rotation-like near-kernels
                       stay representable per component)
-        near_kernel : "linear" (default) or "constant".  "linear" puts
-                      {1, x_active...} per (aggregate, field) in the
-                      tentative space via per-aggregate QR
+        near_kernel : "constant", "linear" (default), or "quadratic".
+                      "linear" puts {1, x_active...} per (aggregate,
+                      field) in the tentative space via per-aggregate QR
                       (_tentative_qr) -- REQUIRED for bending-dominated
                       (4th-order) operators, whose near-kernel is linear
                       in the deflection: measured on the 10.7k-DoF star
                       T-spline KL-shell tangent, constant-kernel
                       multilevel needs >600 PCG iterations where linear
-                      needs a flat ~60 (see scripts/bench_mlsa_shell.py)
+                      needs a flat ~60.  "quadratic" adds the coordinate
+                      products {x_i x_j} -- the low-ENERGY (not just
+                      null) modes of bending operators -- closing most
+                      of the remaining h-growth at ~2x the setup (see
+                      scripts/bench_mlsa_shell.py MEASURED block)
+        cycle       : "V" (default) or "W" (two coarse-grid visits per
+                      level with residual refresh -- more coarse work
+                      per apply, fewer PCG iterations on operators with
+                      a coarse-space gap)
         """
         import scipy.sparse as sp
 
@@ -436,11 +453,25 @@ class MultilevelSA:
                else np.asarray(field_of, dtype=np.int64))
 
         # near-kernel block: constants, plus the active coordinates
+        # ("linear"), plus their products ("quadratic" -- the low-energy
+        # modes of 4th-order bending operators are quadratic in the
+        # deflection, so a linear-only coarse space leaves an O(1) gap
+        # per level; coordinates are centered/scaled first so the
+        # per-aggregate QR stays well-conditioned)
+        if near_kernel not in ("constant", "linear", "quadratic"):
+            raise ValueError("near_kernel must be 'constant', 'linear' "
+                             "or 'quadratic'")
         ext0 = pts.max(axis=0) - pts.min(axis=0)
         active = np.nonzero(ext0 > 1e-12 * max(float(ext0.max()), 1.0)
-                            )[0] if near_kernel == "linear" else []
-        B = np.column_stack([np.ones(ndof)]
-                            + [pts[:, d] for d in active])
+                            )[0] if near_kernel != "constant" else []
+        ctr = 0.5 * (pts.max(axis=0) + pts.min(axis=0))
+        scl = np.where(ext0 > 0, ext0, 1.0)
+        xs = [(pts[:, d] - ctr[d]) / scl[d] for d in active]
+        bcols = [np.ones(ndof)] + xs
+        if near_kernel == "quadratic":
+            bcols += [xs[i] * xs[j] for i in range(len(xs))
+                      for j in range(i, len(xs))]
+        B = np.column_stack(bcols)
 
         A = sp.csr_matrix((vals, (rows, cols)), shape=(ndof, ndof))
         A.sum_duplicates()
@@ -548,13 +579,13 @@ class MultilevelSA:
             raise ValueError(
                 f"operator already below coarse_size={coarse_size}; use "
                 "a dense solve or TwoLevelSA")
-        return cls(levels, coarse_inv, ndof, n_smooth)
+        return cls(levels, coarse_inv, ndof, n_smooth, cycle=cycle)
 
     @classmethod
     def from_spline(cls, spline, form, U=None, params=None, coarsen=3.0,
                     omega_P=0.66, jacobi_omega=0.7, n_smooth=2,
                     coarse_size=800, max_levels=12, apply_bcs=True,
-                    near_kernel="linear"):
+                    near_kernel="linear", cycle="V"):
         """Assemble the BC'd BCOO tangent of ``form`` at state ``U`` and
         build the multilevel SA preconditioner; DoF positions come from
         the dehomogenized control net, replicated per field.  Returns
@@ -581,5 +612,5 @@ class MultilevelSA:
                            omega_P=omega_P, jacobi_omega=jacobi_omega,
                            n_smooth=n_smooth, coarse_size=coarse_size,
                            max_levels=max_levels, field_of=field_of,
-                           near_kernel=near_kernel)
+                           near_kernel=near_kernel, cycle=cycle)
         return pre, M_sp
