@@ -29,12 +29,14 @@ in the contact demos (reef-knot.py:440-482 pattern).
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .interface import (InterfaceForm, EnergyNitscheCoupling,  # noqa: F401
                         Jet3, InterfaceQP, SideQP, phys_grad,
                         interface_quadrature, merged_breakpoints,
                         rational_jet_rows, _register_iform)
+from .ops.smallmat import det_small
 
 
 # -- penalty coupling -----------------------------------------------------------------
@@ -86,6 +88,62 @@ class PenaltyInterfaceCoupling(InterfaceForm):
     @property
     def penalty(self):
         return float(self.params["penalty"])
+
+
+# -- divergence-conforming (RT) velocity coupling --------------------------------------
+
+
+def _rt_jump_density(ua, ub, qp, params):
+    """E = penalty/2 |Piola(u_a) - Piola(u_b)|^2 per unit physical
+    interface measure: the PUSHED-FORWARD (physical) velocity jump of a
+    div-conforming field, u = DF u_hat / det(DF)."""
+    upa = (qp.a.DF @ ua.val) / det_small(qp.a.DF)
+    upb = (qp.b.DF @ ub.val) / det_small(qp.b.DF)
+    j = upa - upb
+    return 0.5 * params["penalty"] * jnp.sum(j * j)
+
+
+@_register_iform
+class RTJumpPenaltyCoupling(InterfaceForm):
+    """Weak coupling of a divergence-conforming (RT compatible) velocity
+    across a non-matching two-patch interface: penalty on the jump of the
+    PIOLA-pushed-forward physical velocity (round-4 VERDICT item #7 --
+    the per-field interface-form tabulation at work: each velocity
+    component carries its own degree-raised B-spline basis, so no
+    equal-order space exists to couple).  The reference expresses the
+    same thing as a UFL interface form on the pushed-forward fields
+    (common.py:1162-1173); here it is one density over per-field jets.
+
+    Pass the space's velocity field indices as ``fields`` (default: all
+    fields -- correct when the space is a pure BSplineCompat velocity
+    space).  Add to an IteratedPenaltySolver via ``interface_forms=``.
+    """
+
+    def __init__(self, spline, patch_a, side_a, patch_b, side_b, penalty,
+                 flips=None, fields=None, quad_degree=None, geom_tol=1e-8):
+        super().__init__(
+            spline, patch_a, side_a, patch_b, side_b, _rt_jump_density,
+            params={"penalty": float(penalty)},
+            nders=0, fields=fields, quad_degree=quad_degree,
+            flips=flips, geom_tol=geom_tol)
+
+    @property
+    def penalty(self):
+        return float(self.params["penalty"])
+
+    def rt_jump_norm(self, U):
+        """L2 norm of the physical (Piola) velocity jump (diagnostic)."""
+        from .ops.smallmat import det_small as _det
+
+        ua = self._jets(U, self.side_a)
+        ub = self._jets(U, self.side_b)
+        qa, qb = self.side_a.qp, self.side_b.qp
+        upa = jnp.einsum("qcd,qd->qc", qa.DF, ua.val) \
+            / jax.vmap(_det)(qa.DF)[:, None]
+        upb = jnp.einsum("qcd,qd->qc", qb.DF, ub.val) \
+            / jax.vmap(_det)(qb.DF)[:, None]
+        j = upa - upb
+        return jnp.sqrt(jnp.sum(self.wq * jnp.sum(j * j, axis=-1)))
 
 
 # -- consistent (Nitsche) coupling, Laplace flux ---------------------------------------

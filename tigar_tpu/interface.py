@@ -80,10 +80,14 @@ def merged_breakpoints(kv_a, kv_b=None, flip=False, tol=1e-12):
 
 
 def interface_quadrature(patch, direction, side, npts, patch_b=None,
-                         free_b=None, flips=None):
+                         free_b=None, flips=None, extra_a=(), extra_b=()):
     """Tensor Gauss rule over the free directions of one patch side, on
     cells between the MERGED breakpoints of both sides (when ``patch_b``
     with its paired ``free_b`` directions and ``flips`` are given).
+    ``extra_a``/``extra_b`` are additional bases (e.g. the per-field
+    component bases of a compatible space) whose breakpoints along the
+    side's free directions join the merge, so the rule is smooth-per-cell
+    for every tabulated basis.
 
     Returns (xi [nq, dim] parametric points with the fixed coordinate set
     to the side value, w_param [nq] parametric weights, t_free [nq, dim-1]
@@ -92,12 +96,15 @@ def interface_quadrature(patch, direction, side, npts, patch_b=None,
     gp, gw = gauss_rule(npts)
     pts_d, wts_d = [], []
     for i, d in enumerate(free):
+        pts_a = [np.asarray(patch.kvs[d].unique_knots)]
+        pts_a += [np.asarray(e.kvs[d].unique_knots) for e in extra_a]
         if patch_b is not None:
-            uniq = merged_breakpoints(
-                patch.kvs[d], patch_b.kvs[free_b[i]],
-                flip=bool(flips[i]) if flips is not None else False)
-        else:
-            uniq = patch.kvs[d].unique_knots
+            fl = bool(flips[i]) if flips is not None else False
+            for pb_ in (patch_b, *extra_b):
+                ub = np.asarray(pb_.kvs[free_b[i]].unique_knots)
+                pts_a.append(np.sort(1.0 - ub) if fl else ub)
+        u = np.sort(np.concatenate(pts_a))
+        uniq = u[np.concatenate([[True], np.diff(u) > 1e-12])]
         a, b = uniq[:-1], uniq[1:]
         pts = (a[:, None] + 0.5 * (gp[None, :] + 1.0)
                * (b - a)[:, None]).reshape(-1)
@@ -183,20 +190,30 @@ def rational_jet_rows(patch, bnet_patch, xi, nders):
 
     alphas = _alphas_upto(dim, nders)
     Nd = {a: tp_vals(a) for a in alphas}
-    Wd = {a: np.einsum("qa,qa->q", Nd[a], wq) for a in alphas}
     zero = (0,) * dim
-    Rd = {}
-    for a in alphas:
-        acc = Nd[a] * wq
-        for b in _iproduct(*(range(ai + 1) for ai in a)):
-            if b == a:
-                continue
-            coef = 1.0
-            for d in range(dim):
-                coef *= comb(a[d], b[d])
-            diff = tuple(a[d] - b[d] for d in range(dim))
-            acc = acc - coef * Rd[b] * Wd[diff][:, None]
-        Rd[a] = acc / Wd[zero][:, None]
+    if np.all(w_cp == 1.0):
+        # plain (non-rational) basis -- e.g. the B-spline component fields
+        # of compatible RT/N spaces: skip the quotient recursion, whose
+        # floating-point weight-derivative sums (exactly zero in exact
+        # arithmetic) would otherwise leak ~1e-14 relative noise into the
+        # derivative rows
+        Wd = {a: (np.ones(nq) if sum(a) == 0 else np.zeros(nq))
+              for a in alphas}
+        Rd = dict(Nd)
+    else:
+        Wd = {a: np.einsum("qa,qa->q", Nd[a], wq) for a in alphas}
+        Rd = {}
+        for a in alphas:
+            acc = Nd[a] * wq
+            for b in _iproduct(*(range(ai + 1) for ai in a)):
+                if b == a:
+                    continue
+                coef = 1.0
+                for d in range(dim):
+                    coef *= comb(a[d], b[d])
+                diff = tuple(a[d] - b[d] for d in range(dim))
+                acc = acc - coef * Rd[b] * Wd[diff][:, None]
+            Rd[a] = acc / Wd[zero][:, None]
 
     def pack(table, extra_shape):
         """Symmetric tensors by order from the multi-index table."""
@@ -315,12 +332,16 @@ def _jets_list(*js):
 
 
 class SideData(NamedTuple):
-    """Pytree of one side's tabulated interface data."""
-    conn: Any          # [nq, nen]
-    R0: Any            # [nq, nen]
-    R1: Any            # [nq, nen, dim]
-    R2: Optional[Any]
-    R3: Optional[Any]
+    """Pytree of one side's tabulated interface data.  The coupled fields
+    are tabulated PER FIELD (each field may have its own scalar basis --
+    e.g. the component B-splines of a compatible RT/N space); ragged local
+    supports are padded to a common ``nen`` with zero rows, and ``conn``
+    carries GLOBAL DoF indices (field offset + patch offset folded in)."""
+    conn: Any          # [nq, nf, nen] global DoF indices
+    R0: Any            # [nq, nf, nen]
+    R1: Any            # [nq, nf, nen, dim]
+    R2: Optional[Any]  # [nq, nf, nen, dim, dim]
+    R3: Optional[Any]  # [nq, nf, nen, dim, dim, dim]
     qp: SideQP         # leaves [nq, ...]
 
 
@@ -351,7 +372,12 @@ class InterfaceForm:
 
     Parameters
     ----------
-    spline    : ExtractedSpline over an equal-order MultiPatchBSplineBasis
+    spline    : ExtractedSpline over a MultiPatchBSplineBasis control
+                mesh; coupled fields may share the control basis
+                (equal-order) or carry their own per-field
+                MultiPatchBSplineBasis (e.g. compatible RT/N component
+                bases -- reference: arbitrary UFL interface forms on any
+                space, common.py:1162-1173)
     patch_a, side_a : patch index and (direction, side) of side A
     patch_b, side_b : likewise for side B
     density   : density(u_a: Jet3, u_b: Jet3, qp: InterfaceQP, params)
@@ -369,22 +395,29 @@ class InterfaceForm:
         from .models.multipatch import MultiPatchBSplineBasis
 
         space = spline.space
-        basis = space.fields[0]
-        for f in space.fields:
-            if f is not basis:
-                raise ValueError("interface forms require an equal-order "
-                                 "space")
-        if not isinstance(basis, MultiPatchBSplineBasis):
+        geom_basis = space.control_mesh.scalar_basis()
+        if not isinstance(geom_basis, MultiPatchBSplineBasis):
             raise NotImplementedError("interface forms require a "
-                                      "MultiPatchBSplineBasis space")
+                                      "MultiPatchBSplineBasis control "
+                                      "mesh")
         self.density = density
         self.params = {} if params is None else params
         self.fields = list(range(space.nfields)) if fields is None \
             else list(fields)
+        fbases = [space.fields[f] for f in self.fields]
+        for fb in fbases:
+            if not isinstance(fb, MultiPatchBSplineBasis):
+                raise NotImplementedError(
+                    "every coupled field must be a MultiPatchBSplineBasis "
+                    "(equal-order or per-field, e.g. compatible RT/N "
+                    "component bases)")
+            if fb.n_patches != geom_basis.n_patches:
+                raise ValueError("coupled field patch count differs from "
+                                 "the control mesh")
         dir_a, sd_a = side_a
         dir_b, sd_b = side_b
-        pa = basis.patches[patch_a]
-        pb = basis.patches[patch_b]
+        pa = geom_basis.patches[patch_a]
+        pb = geom_basis.patches[patch_b]
         if flips is None:
             flips = (False,) * (pa.dim - 1)
 
@@ -392,8 +425,16 @@ class InterfaceForm:
                                   else spline.quad_degree)
         free_a = [d for d in range(pa.dim) if d != dir_a]
         free_b = [d for d in range(pb.dim) if d != dir_b]
+        # merged-breakpoint rule over geometry AND every coupled field
+        # basis of both sides (distinct per-field knot lines, e.g. the
+        # degree-raised compatible components, stay smooth-per-cell)
+        xtr_a = [fb.patches[patch_a] for fb in fbases
+                 if fb is not geom_basis]
+        xtr_b = [fb.patches[patch_b] for fb in fbases
+                 if fb is not geom_basis]
         xi_a, w_param, t_free = interface_quadrature(
-            pa, dir_a, sd_a, npts, patch_b=pb, free_b=free_b, flips=flips)
+            pa, dir_a, sd_a, npts, patch_b=pb, free_b=free_b, flips=flips,
+            extra_a=xtr_a, extra_b=xtr_b)
         nq = xi_a.shape[0]
         xi_b = np.zeros((nq, pb.dim))
         xi_b[:, dir_b] = float(sd_b)
@@ -402,12 +443,13 @@ class InterfaceForm:
             xi_b[:, d] = tb
 
         bnet = np.asarray(spline.bnet)
-        off_a, off_b = basis.doffsets[patch_a], basis.doffsets[patch_b]
+        off_a = geom_basis.doffsets[patch_a]
+        off_b = geom_basis.doffsets[patch_b]
         bnet_a = bnet[off_a:off_a + pa.ncp]
         bnet_b = bnet[off_b:off_b + pb.ncp]
         dtype = spline.dtype
 
-        def build_side(patch, bnet_patch, xi, direction, sd, doffset):
+        def build_side(patch, bnet_patch, xi, direction, sd, patch_idx):
             rows = rational_jet_rows(patch, bnet_patch, xi, max(nders, 1))
             DF = rows.X[1]
             g = np.einsum("qci,qcj->qij", DF, DF)
@@ -431,22 +473,61 @@ class InterfaceForm:
                     if nders >= 3 else None),
                 pinv=jnp.asarray(pinv, dtype=dtype),
                 nu_flat=jnp.asarray(nu_flat, dtype=dtype))
+            # per-field derivative rows: the geometry's rationalized rows
+            # for equal-order fields, the field's own (plain B-spline)
+            # rows otherwise; ragged supports padded to a common nen with
+            # zero rows (padded conn slots repeat a real index -- their
+            # zero basis rows kill any contribution)
+            nd_eff = max(nders, 1)
+
+            def field_rows(fb):
+                if fb is geom_basis:
+                    return rows.conn, rows.R[:nd_eff + 1]
+                pf = fb.patches[patch_idx]
+                ones = np.ones((pf.ncp, 2))
+                rf = rational_jet_rows(pf, ones, xi, nd_eff)
+                return rf.conn, rf.R
+
+            f_conn, f_R = [], []
+            for f, fb in zip(self.fields, fbases):
+                cn, Rf = field_rows(fb)
+                goff = int(space.offsets[f]) + int(fb.doffsets[patch_idx])
+                f_conn.append(cn + goff)
+                f_R.append(Rf)
+            nen = max(c.shape[1] for c in f_conn)
+
+            def padc(c):
+                if c.shape[1] == nen:
+                    return c
+                return np.concatenate(
+                    [c, np.repeat(c[:, :1], nen - c.shape[1], axis=1)],
+                    axis=1)
+
+            def padr(t):
+                if t.shape[1] == nen:
+                    return t
+                wd = [(0, 0)] * t.ndim
+                wd[1] = (0, nen - t.shape[1])
+                return np.pad(t, wd)
+
+            conn = np.stack([padc(c) for c in f_conn], axis=1)
+            Rk = [np.stack([padr(Rf[k]) for Rf in f_R], axis=1)
+                  for k in range(nd_eff + 1)]
             sd_data = SideData(
-                conn=jnp.asarray((rows.conn + int(doffset))
-                                 .astype(INDEX_TYPE)),
-                R0=jnp.asarray(rows.R[0], dtype=dtype),
-                R1=jnp.asarray(rows.R[1], dtype=dtype),
-                R2=(jnp.asarray(rows.R[2], dtype=dtype)
+                conn=jnp.asarray(conn.astype(INDEX_TYPE)),
+                R0=jnp.asarray(Rk[0], dtype=dtype),
+                R1=jnp.asarray(Rk[1], dtype=dtype),
+                R2=(jnp.asarray(Rk[2], dtype=dtype)
                     if nders >= 2 else None),
-                R3=(jnp.asarray(rows.R[3], dtype=dtype)
+                R3=(jnp.asarray(Rk[3], dtype=dtype)
                     if nders >= 3 else None),
                 qp=qp)
             return sd_data, rows
 
         self.side_a, rows_a = build_side(pa, bnet_a, xi_a, dir_a, sd_a,
-                                         off_a)
+                                         patch_a)
         self.side_b, rows_b = build_side(pb, bnet_b, xi_b, dir_b, sd_b,
-                                         off_b)
+                                         patch_b)
 
         # geometric coincidence check
         gap = float(np.max(np.linalg.norm(rows_a.X[0] - rows_b.X[0],
@@ -472,7 +553,6 @@ class InterfaceForm:
         self.wq = jnp.asarray(wq, dtype=dtype)
         self.w_param = jnp.asarray(w_param, dtype=dtype)
         self.surfJ = jnp.asarray(surfJ, dtype=dtype)
-        self._offsets = [int(space.offsets[f]) for f in self.fields]
         self._nders = int(nders)
 
     # -- evaluation --------------------------------------------------------------
@@ -483,12 +563,12 @@ class InterfaceForm:
         return float(jnp.sum(self.wq))
 
     def _jets(self, U, sd: SideData) -> Jet3:
-        Uc = jnp.stack([U[off + sd.conn] for off in self._offsets], axis=1)
-        val = jnp.einsum("qa,qfa->qf", sd.R0, Uc)
-        g = jnp.einsum("qad,qfa->qfd", sd.R1, Uc)
-        h = None if sd.R2 is None else jnp.einsum("qade,qfa->qfde",
+        Uc = U[sd.conn]                              # [nq, nf, nen]
+        val = jnp.einsum("qfa,qfa->qf", sd.R0, Uc)
+        g = jnp.einsum("qfad,qfa->qfd", sd.R1, Uc)
+        h = None if sd.R2 is None else jnp.einsum("qfade,qfa->qfde",
                                                   sd.R2, Uc)
-        t3 = None if sd.R3 is None else jnp.einsum("qadef,qza->qzdef",
+        t3 = None if sd.R3 is None else jnp.einsum("qfaijk,qfa->qfijk",
                                                    sd.R3, Uc)
         return Jet3(val, g, h, t3)
 
@@ -536,12 +616,9 @@ class InterfaceForm:
         """Sorted global DoF indices the form couples (the union of both
         sides' connectivities over all coupled fields)."""
         if not hasattr(self, "_support") or self._support is None:
-            conns = []
-            for sd in (self.side_a, self.side_b):
-                c = np.asarray(sd.conn)
-                for off in self._offsets:
-                    conns.append((c + off).ravel())
-            self._support = np.unique(np.concatenate(conns))
+            self._support = np.unique(np.concatenate(
+                [np.asarray(sd.conn).ravel()
+                 for sd in (self.side_a, self.side_b)]))
         return self._support
 
     def support_positions(self):
@@ -552,12 +629,8 @@ class InterfaceForm:
         operator builds)."""
         idx = self.support
         if not hasattr(self, "_pos") or getattr(self, "_pos", None) is None:
-            pos = []
-            for sd in (self.side_a, self.side_b):
-                c = np.asarray(sd.conn)
-                p_f = [np.searchsorted(idx, c + off)
-                       for off in self._offsets]
-                pos.append(np.stack(p_f, axis=1))   # [nq, nf, nen]
+            pos = [np.searchsorted(idx, np.asarray(sd.conn))  # [nq, nf, nen]
+                   for sd in (self.side_a, self.side_b)]
             self._pos = (jnp.asarray(pos[0].astype(INDEX_TYPE)),
                          jnp.asarray(pos[1].astype(INDEX_TYPE)))
         return jnp.asarray(idx.astype(INDEX_TYPE)), *self._pos
@@ -581,11 +654,11 @@ class InterfaceForm:
     def _jets_local(self, uloc, sd: SideData):
         """Per-point jets from LOCAL coefficients uloc [nf, nen] (inside
         vmap: sd leaves are per-point)."""
-        val = jnp.einsum("a,fa->f", sd.R0, uloc)
-        g = jnp.einsum("ad,fa->fd", sd.R1, uloc)
-        h = None if sd.R2 is None else jnp.einsum("ade,fa->fde", sd.R2,
+        val = jnp.einsum("fa,fa->f", sd.R0, uloc)
+        g = jnp.einsum("fad,fa->fd", sd.R1, uloc)
+        h = None if sd.R2 is None else jnp.einsum("fade,fa->fde", sd.R2,
                                                   uloc)
-        t3 = None if sd.R3 is None else jnp.einsum("adef,za->zdef",
+        t3 = None if sd.R3 is None else jnp.einsum("faijk,fa->fijk",
                                                    sd.R3, uloc)
         return Jet3(val, g, h, t3)
 
@@ -594,8 +667,7 @@ class InterfaceForm:
     def tree_flatten(self):
         children = (self.side_a, self.side_b, self.nu, self.wq,
                     self.w_param, self.surfJ, self.params)
-        aux = (self.density, tuple(self.fields), tuple(self._offsets),
-               self._nders)
+        aux = (self.density, tuple(self.fields), self._nders)
         return children, aux
 
     @classmethod
@@ -603,9 +675,8 @@ class InterfaceForm:
         obj = cls.__new__(cls)
         (obj.side_a, obj.side_b, obj.nu, obj.wq, obj.w_param, obj.surfJ,
          obj.params) = children
-        obj.density, fields, offsets, obj._nders = aux
+        obj.density, fields, obj._nders = aux
         obj.fields = list(fields)
-        obj._offsets = list(offsets)
         return obj
 
 

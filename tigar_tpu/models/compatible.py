@@ -20,18 +20,9 @@ from .space import FieldListSpline
 from ..solvers.newton import NewtonError
 
 
-def generate_fields_compat(control_mesh: ControlMesh, rt_or_n, degrees,
-                           periodicities=None):
-    """Scalar bases of the components of an RT- or N-type compatible spline
-    (reference: generateFieldsCompat, compatibleSplines.py:21-65).
-    ``degrees`` is k' in J.A. Evans's notation; the actual polynomial degree
-    is raised by one along (RT) / perpendicular to (N) the field direction.
-    """
+def _compat_fields_one_patch(base: TensorBSplineBasis, rt_or_n, degrees,
+                             periodicities=None):
     nvar = len(degrees)
-    base = control_mesh.scalar_basis()
-    if not isinstance(base, TensorBSplineBasis):
-        raise TypeError("compatible splines require a tensor-product "
-                        "B-spline control basis")
     fields = []
     for i in range(nvar):       # field (velocity component) index
         kvecs = []
@@ -48,6 +39,37 @@ def generate_fields_compat(control_mesh: ControlMesh, rt_or_n, degrees,
             field_degs.append(degree)
         fields.append(TensorBSplineBasis(field_degs, kvecs))
     return fields
+
+
+def generate_fields_compat(control_mesh: ControlMesh, rt_or_n, degrees,
+                           periodicities=None):
+    """Scalar bases of the components of an RT- or N-type compatible spline
+    (reference: generateFieldsCompat, compatibleSplines.py:21-65).
+    ``degrees`` is k' in J.A. Evans's notation; the actual polynomial degree
+    is raised by one along (RT) / perpendicular to (N) the field direction.
+
+    On a MultiPatchControlMesh, each component field is itself a
+    MultiPatchBSplineBasis (one compatible component basis per patch,
+    sharing the patch's Bezier-element grid), so weakly coupled
+    divergence-conforming multipatch domains flow through the same
+    FieldListSpline assembly and the per-field interface-form tabulation
+    (interface.InterfaceForm).  Periodicity is a single-patch concept
+    here and is rejected with multiple patches."""
+    base = control_mesh.scalar_basis()
+    from .multipatch import MultiPatchBSplineBasis
+    if isinstance(base, MultiPatchBSplineBasis):
+        if periodicities is not None:
+            raise NotImplementedError("periodic compatible splines are "
+                                      "single-patch only")
+        per_patch = [_compat_fields_one_patch(p, rt_or_n, degrees)
+                     for p in base.patches]
+        nvar = len(degrees)
+        return [MultiPatchBSplineBasis([pp[i] for pp in per_patch])
+                for i in range(nvar)]
+    if not isinstance(base, TensorBSplineBasis):
+        raise TypeError("compatible splines require a tensor-product "
+                        "B-spline control basis")
+    return _compat_fields_one_patch(base, rt_or_n, degrees, periodicities)
 
 
 class BSplineCompat(FieldListSpline):
@@ -84,10 +106,19 @@ class IteratedPenaltySolver:
     """
 
     def __init__(self, spline, residual, div_op=None, reuse_lhs=True,
-                 apply_bcs=True, takes_params=False):
+                 apply_bcs=True, takes_params=False, interface_forms=None):
         self.spline = spline
         self.reuse_lhs = reuse_lhs
         self.apply_bcs = apply_bcs
+        # weak patch-coupling terms (interface.InterfaceForm, e.g. the
+        # RT velocity-jump penalty of coupling.RTJumpPenaltyCoupling) on
+        # a multipatch compatible space: their AD residual joins every
+        # assembled residual, their exact dense tangent_block joins the
+        # (direct) linearized solves.  Reference: interface terms are
+        # ordinary UFL forms in the same assemble calls
+        # (common.py:1162-1173).
+        self.interface_forms = list(interface_forms or [])
+        self._iform_blocks = None
         if div_op is None:
             div_op = piola_div
 
@@ -103,6 +134,48 @@ class IteratedPenaltySolver:
             return res + params["penalty"] * du * dv + dw * dv
 
         self.aug_density = aug_density
+
+    def _solve_coupled(self, lhs_state, b, p, U):
+        """Direct linearized solve of the augmented tangent PLUS the exact
+        dense interface blocks (zeroRowsColumns BC semantics on the
+        blocks).  Interface-coupled solves are dense-direct only -- the
+        coupled problems this serves (two-patch TG-class flows) sit well
+        under the dense threshold; Krylov integration of interface forms
+        lives in the Newton tiers (solvers/newton_stencil_mp)."""
+        import jax as _jax
+        from ..solvers.linear import solve_dense
+
+        spline = self.spline
+        if spline._linear_method() != "direct":
+            raise NotImplementedError(
+                "interface_forms require the dense direct linear solver "
+                f"(got {spline._linear_method()!r}); use the multipatch "
+                "Newton tiers for iterative coupled solves")
+        on_accel = (jnp.issubdtype(spline.dtype, jnp.float64)
+                    and _jax.default_backend() != "cpu")
+        dev = _jax.devices("cpu")[0] if on_accel else None
+        A = np.array(spline.assemble_matrix(self.aug_density, U=lhs_state,
+                                            params=p,
+                                            apply_bcs=self.apply_bcs,
+                                            device=dev))
+        if self._iform_blocks is None or not self.reuse_lhs:
+            mask = np.asarray(spline.mask)
+            blocks = []
+            for iform in self.interface_forms:
+                idx, K = iform.tangent_block(U)
+                K = np.asarray(K)
+                if self.apply_bcs:
+                    m = mask[idx]
+                    K = K * m[:, None] * m[None, :]
+                blocks.append((np.asarray(idx), K))
+            self._iform_blocks = blocks
+        for idx, K in self._iform_blocks:
+            A[np.ix_(idx, idx)] += K
+        if on_accel:
+            rhs = _jax.device_put(np.asarray(b), dev)
+            x = solve_dense(_jax.device_put(A, dev), rhs)
+            return jnp.asarray(np.asarray(x))
+        return solve_dense(jnp.asarray(A, dtype=spline.dtype), b)
 
     def solve(self, U, w=None, penalty=DEFAULT_RT_PENALTY, aux=None,
               params=None, log=False, pipeline=False, floor_factor=100.0):
@@ -183,6 +256,9 @@ class IteratedPenaltySolver:
             s = state(U, w)
             b = spline.assemble_vector(self.aug_density, U=s,
                                        apply_bcs=self.apply_bcs, params=p)
+            for iform in self.interface_forms:
+                r_i = iform.residual(U)
+                b = b + (spline.mask * r_i if self.apply_bcs else r_i)
             if pipeline:
                 norm_dev = jnp.linalg.norm(b)
                 if pending is not None:
@@ -196,8 +272,11 @@ class IteratedPenaltySolver:
                     return done
             if lhs_state is None or not self.reuse_lhs:
                 lhs_state = s
-            dU = spline._solve_linearized(self.aug_density, lhs_state, b,
-                                          params=p)
+            if self.interface_forms:
+                dU = self._solve_coupled(lhs_state, b, p, U)
+            else:
+                dU = spline._solve_linearized(self.aug_density, lhs_state,
+                                              b, params=p)
             U = U - dU
             w = w + penalty * U
         if pending is not None:
