@@ -51,6 +51,8 @@ two-level method degrades with the fine/coarse gap.
 
 from __future__ import annotations
 
+from functools import partial as _partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -330,19 +332,89 @@ def _tentative_qr(lbl, B, n):
 
 
 
+def _csr_to_ell(Acsr):
+    """Host conversion of a scipy CSR matrix to padded-row (ELL) arrays
+    (cols [n, K] int32, vals [n, K]); padding slots index column 0 with
+    value 0.  The ELL apply y = sum_k vals[:, k] * x[cols[:, k]] is a
+    pure gather + per-row reduction -- no scatter, the op class TPUs
+    serialize on."""
+    Acsr = Acsr.tocsr()
+    Acsr.sort_indices()
+    n = Acsr.shape[0]
+    row_nnz = np.diff(Acsr.indptr)
+    kmax = max(int(row_nnz.max()), 1)
+    cols = np.zeros((n, kmax), dtype=np.int32)
+    vals = np.zeros((n, kmax))
+    rr = np.repeat(np.arange(n), row_nnz)
+    kk = np.arange(Acsr.indptr[-1]) - np.repeat(Acsr.indptr[:-1], row_nnz)
+    cols[rr, kk] = Acsr.indices
+    vals[rr, kk] = Acsr.data
+    return cols, vals
+
+
+@_partial(jax.jit, static_argnums=(2, 3, 4))
+def _mlsa_apply(state, r, ns, gamma, nlev):
+    """One V/W-cycle.  ``state`` = (levels, coarse_inv, fine) is passed
+    as a pytree ARGUMENT, never closed over: closed-over device arrays
+    become HLO constants shipped through the remote-compile tunnel and
+    re-compiled at every hierarchy rebuild; as arguments the compiled
+    cycle is shape-keyed and persists across rebuilds and processes."""
+    levels, cinv, fine = state
+
+    def amv(l, x):
+        if l == 0 and fine is not None:
+            fop, fmask = fine
+            return fmask * fop(fmask * x) + (1.0 - fmask) * x
+        lv = levels[l]
+        return jnp.einsum("ik,ik->i", lv[1], x[lv[0]])
+
+    def cycle_fn(l, r):
+        if l == nlev:
+            return cinv @ r
+        lv = levels[l]
+        om_dinv = lv[2]
+        x = om_dinv * r
+        for _ in range(ns - 1):
+            x = x + om_dinv * (r - amv(l, x))
+        # coarse-grid correction, gamma visits (V: 1, W: 2 -- the
+        # recursion refreshes the restricted residual between visits;
+        # the coarsest dense solve is exact so extra visits only apply
+        # below the top)
+        for _ in range(gamma if l + 1 < nlev else 1):
+            d = r - amv(l, x)
+            dc = jnp.einsum("ik,ik->i", lv[6], d[lv[5]])     # restrict
+            xc = cycle_fn(l + 1, dc)
+            x = x + jnp.einsum("ik,ik->i", lv[4], xc[lv[3]])  # prolong
+        for _ in range(ns):
+            x = x + om_dinv * (r - amv(l, x))
+        return x
+
+    return cycle_fn(0, r)
+
+
 class MultilevelSA:
     """Recursive smoothed-aggregation V-cycle preconditioner (see module
     docstring).  Build with ``from_coo`` / ``from_spline``; callable as
     M(r) inside any Krylov loop (f32 internally, casts at the borders).
 
-    Per level the device state is the f32 coo operator (scatter-add
-    matvec), the damped-Jacobi inverse diagonal, and the SPARSE smoothed
-    prolongation padded to its max row support: up() is a per-fine-row
-    gather-contract, down() the exact transpose scatter -- both
-    TPU-friendly (static shapes, no host sync)."""
+    Per level the device state is entirely in padded-row (ELL) form --
+    the operator matvec, the smoothed prolongation AND its transpose are
+    all per-row gather-contracts of static shape.  NO scatter-add
+    appears anywhere in the apply: TPU scatter-adds serialize, and the
+    round-5 on-chip probe of the coo-apply predecessor measured 76.8 s
+    per warm production Newton step at 23k DoFs (scripts/probe_sa_tpu.py)
+    with the scatter-dominated matvec chain as the whole cost."""
 
-    def __init__(self, levels, coarse_inv, ndof, n_smooth, cycle="V"):
-        # levels: tuples (rows, cols, vals, om_dinv, P_cols, P_vals, n_c)
+    def __init__(self, levels, coarse_inv, ndof, n_smooth, cycle="V",
+                 fine_op=None, fine_mask=None):
+        # levels: tuples (A_cols, A_vals, om_dinv, P_cols, P_vals,
+        #                 Pt_cols, Pt_vals) -- all padded-row ELL.
+        # fine_op/fine_mask: optional BC'd fine operator action replacing
+        # the level-0 ELL matvec -- e.g. an f32 newton_sa.ElemTangent,
+        # whose gather/batched-matmul/scatter apply moves 48x less
+        # irregular memory than the ELL rows on TPU (measured: 23 ms ELL
+        # vs element-apply class ~ms at 23k DoFs; the V-cycle is ~10
+        # fine-class applies, so this is THE on-chip lever).
         self._levels = tuple(levels)
         self._coarse_inv = coarse_inv
         self._ndof = int(ndof)
@@ -350,43 +422,8 @@ class MultilevelSA:
         self._cycle = str(cycle).upper()
         if self._cycle not in ("V", "W"):
             raise ValueError("cycle must be 'V' or 'W'")
-        ns = self._n_smooth
-        nlev = len(levels)
-        gamma = 2 if self._cycle == "W" else 1
-
-        def amv(lv, x):
-            rows, cols, vals = lv[0], lv[1], lv[2]
-            out = jnp.zeros(x.shape[0], dtype=x.dtype)
-            return out.at[rows].add(vals * x[cols])
-
-        def up(lv, xc):
-            return jnp.einsum("ik,ik->i", lv[5], xc[lv[4]])
-
-        def down(lv, r):
-            nc = lv[6]
-            return jnp.zeros(nc, dtype=r.dtype).at[lv[4]].add(
-                lv[5] * r[:, None])
-
-        def cycle_fn(l, r):
-            if l == nlev:
-                return self._coarse_inv @ r
-            lv = self._levels[l]
-            om_dinv = lv[3]
-            x = om_dinv * r
-            for _ in range(ns - 1):
-                x = x + om_dinv * (r - amv(lv, x))
-            # coarse-grid correction, gamma visits (V: 1, W: 2 -- the
-            # recursion refreshes the restricted residual between
-            # visits; the coarsest dense solve is exact so extra visits
-            # only apply below the top)
-            for _ in range(gamma if l + 1 < nlev else 1):
-                d = r - amv(lv, x)
-                x = x + up(lv, cycle_fn(l + 1, down(lv, d)))
-            for _ in range(ns):
-                x = x + om_dinv * (r - amv(lv, x))
-            return x
-
-        self._apply32 = jax.jit(lambda r: cycle_fn(0, r))
+        self._fine = (None if fine_op is None
+                      else (fine_op, fine_mask))
 
     @property
     def n_levels(self):
@@ -394,11 +431,15 @@ class MultilevelSA:
 
     @property
     def level_sizes(self):
-        return tuple(int(lv[3].shape[0]) for lv in self._levels) + (
+        return tuple(int(lv[2].shape[0]) for lv in self._levels) + (
             int(self._coarse_inv.shape[0]),)
 
     def __call__(self, r):
-        return self._apply32(r.astype(jnp.float32)).astype(r.dtype)
+        gamma = 2 if self._cycle == "W" else 1
+        out = _mlsa_apply((self._levels, self._coarse_inv, self._fine),
+                          r.astype(jnp.float32), self._n_smooth, gamma,
+                          len(self._levels))
+        return out.astype(r.dtype)
 
     # -- construction ----------------------------------------------------------
 
@@ -406,7 +447,8 @@ class MultilevelSA:
     def from_coo(cls, rows, cols, vals, ndof, points_dof, mask,
                  coarsen=3.0, omega_P=0.66, jacobi_omega=0.7, n_smooth=2,
                  coarse_size=800, max_levels=12, labels0=None,
-                 field_of=None, near_kernel="linear", cycle="V"):
+                 field_of=None, near_kernel="linear", cycle="V",
+                 fine_op=None, fine_mask=None):
         """Build from host coo arrays of the BC'd fine operator.
 
         points_dof  : [ndof, d] physical position of every DoF (field
@@ -539,28 +581,20 @@ class MultilevelSA:
             pts_c = cen[agg_of_col]
             fld_c = f_agg[agg_of_col]
 
-            # device arrays: coo operator + damped-Jacobi diagonal
-            Ac_coo = A.tocoo()
+            # device arrays, all padded-row ELL (pure-gather applies):
+            # the level operator, the smoothed prolongation, and its
+            # transpose (exact restriction)
             dinv = m_h / D + (1.0 - m_h) / om_eff if level == 0 \
                 else 1.0 / D
-            # padded sparse prolongation (per-fine-row gather)
-            Pr = P.tocsr()
-            row_nnz = np.diff(Pr.indptr)
-            kmax = max(int(row_nnz.max()), 1)
-            P_cols = np.zeros((n, kmax), dtype=np.int32)
-            P_vals = np.zeros((n, kmax))
-            rr = np.repeat(np.arange(n), row_nnz)
-            kk = np.arange(Pr.indptr[-1]) - np.repeat(Pr.indptr[:-1],
-                                                      row_nnz)
-            P_cols[rr, kk] = Pr.indices
-            P_vals[rr, kk] = Pr.data
+            A_cols, A_vals = _csr_to_ell(A)
+            P_cols, P_vals = _csr_to_ell(P)
+            Pt_cols, Pt_vals = _csr_to_ell(P.T.tocsr())
             f32 = jnp.float32
             levels.append((
-                jnp.asarray(Ac_coo.row), jnp.asarray(Ac_coo.col),
-                jnp.asarray(Ac_coo.data, dtype=f32),
+                jnp.asarray(A_cols), jnp.asarray(A_vals, dtype=f32),
                 jnp.asarray(om_eff * dinv, dtype=f32),
                 jnp.asarray(P_cols), jnp.asarray(P_vals, dtype=f32),
-                nc))
+                jnp.asarray(Pt_cols), jnp.asarray(Pt_vals, dtype=f32)))
             A = Ac
             pts = pts_c
             fld = fld_c
@@ -579,7 +613,8 @@ class MultilevelSA:
             raise ValueError(
                 f"operator already below coarse_size={coarse_size}; use "
                 "a dense solve or TwoLevelSA")
-        return cls(levels, coarse_inv, ndof, n_smooth, cycle=cycle)
+        return cls(levels, coarse_inv, ndof, n_smooth, cycle=cycle,
+                   fine_op=fine_op, fine_mask=fine_mask)
 
     @classmethod
     def from_spline(cls, spline, form, U=None, params=None, coarsen=3.0,

@@ -94,10 +94,84 @@ jax.tree_util.register_pytree_node(
     CooTangent, lambda t: t.tree_flatten(), CooTangent.tree_unflatten)
 
 
+class ElemTangent:
+    """Element-batch device tangent: gather local coefficients at the
+    connectivity, batched local matmul, scatter-add local results --
+    y = scatter(conn, E @ x[conn]).
+
+    THE TPU-native format for unstructured operators, measured on the
+    chip at 23k DoFs / 6912 elements / nloc 48 (round 5,
+    scripts/probe_sa_tpu.py + /tmp probes recorded in CLAUDE.md):
+
+    * raw coo scatter-add apply (one scatter per element-matrix ENTRY,
+      15.9M): 76.8 s per warm production Newton step -- TPU scatters
+      serialize;
+    * deduplicated padded-row ELL apply (scatter-free, pure gather +
+      row reduction, 23k x 147): 23 ms per matvec -- TPU RANDOM GATHERS
+      run at ~150M elements/s, and ELL gathers nloc columns per row
+      NEIGHBOR (nel * nloc^2 elements);
+    * this element apply touches nel * nloc = 332k gathered + scattered
+      elements (48x less irregular traffic) and pushes the nel * nloc^2
+      FLOPs through batched [nloc x nloc] matmuls -- MXU work in f32.
+
+    dtype dispatch (the round-3 stencil rule): f32 applies use the MXU
+    einsum pinned to HIGHEST precision (bf16 passes would perturb the
+    Krylov operator); f64 applies use an explicit broadcast
+    multiply-reduce -- emulated-f64 dot_general is catastrophically slow
+    on TPU and must never be lowered.
+
+    ``vals`` (the flattened element-matrix entries, row-major in the
+    (element, a, b) connectivity convention of SANewton's rows_h/cols_h)
+    feeds the host-side SA hierarchy builds."""
+
+    def __init__(self, conn, E, ndof):
+        self.conn = conn                     # [nel, nloc] global DoFs
+        self.E = E                           # [nel, nloc, nloc]
+        self.ndof = int(ndof)
+
+    def __call__(self, x):
+        u = x[self.conn]                     # [nel, nloc]
+        if jnp.issubdtype(x.dtype, jnp.float64):
+            y = jnp.sum(self.E * u[:, None, :], axis=2)
+        else:
+            y = jnp.einsum("eab,eb->ea", self.E, u,
+                           precision=jax.lax.Precision.HIGHEST)
+        return jnp.zeros(self.ndof, dtype=x.dtype).at[self.conn].add(y)
+
+    @property
+    def vals(self):
+        return self.E.reshape(-1)
+
+    def diagonal(self):
+        nloc = self.E.shape[1]
+        d = self.E[:, jnp.arange(nloc), jnp.arange(nloc)]
+        return jnp.zeros(self.ndof,
+                         dtype=self.E.dtype).at[self.conn].add(d)
+
+    def astype(self, dtype):
+        return ElemTangent(self.conn, self.E.astype(dtype), self.ndof)
+
+    def tree_flatten(self):
+        return ((self.conn, self.E), (self.ndof,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.conn, obj.E = children
+        (obj.ndof,) = aux
+        return obj
+
+
+jax.tree_util.register_pytree_node(
+    ElemTangent, lambda t: t.tree_flatten(), ElemTangent.tree_unflatten)
+
+
 @jax.jit
 def _masked_act(op, mask, w):
     """BC'd operator action: identity on constrained DoFs."""
     return mask * op(mask * w) + (1.0 - mask) * w
+
+
 
 
 class SANewton(StencilNewton):
@@ -188,8 +262,7 @@ class SANewton(StencilNewton):
                                  (nel, nloc, nloc)).reshape(-1)
         self._rows_h = rows_h
         self._cols_h = cols_h
-        rows_d = jnp.asarray(rows_h)
-        cols_d = jnp.asarray(cols_h)
+        conn_d = jnp.asarray(conn)
         # element-level BC mask (mask gathered at connectivity; padded
         # out-of-bounds entries clamp but multiply zero element values)
         me64 = spline.mask[self.asm64.cat_conn]
@@ -223,13 +296,12 @@ class SANewton(StencilNewton):
         @jax.jit
         def build_vals(asm_, U, me):
             E = _elem_mats(asm_, U)                      # [nel, nloc, nloc]
-            E = E * me[:, :, None] * me[:, None, :]
-            return E.reshape(-1)
+            return E * me[:, :, None] * me[:, None, :]
 
         def build(asm_, U):
             me = me64.astype(U.dtype)
-            return CooTangent(rows_d, cols_d, build_vals(asm_, U, me),
-                              spline.ndof)
+            return ElemTangent(conn_d, build_vals(asm_, U, me),
+                               spline.ndof)
 
         self._build = build
 
@@ -287,6 +359,7 @@ class SANewton(StencilNewton):
                 self._sa = MultilevelSA.from_coo(
                     rows, cols, vals, ndof, self._pts_dof,
                     self._mask_h, field_of=self._field_of,
+                    fine_op=st32, fine_mask=self.mask32,
                     **self._sa_kwargs)
         return self._sa
 
